@@ -1,0 +1,131 @@
+"""Flow/offset-field utilities for correspondence-seeded aggregation.
+
+TPU-native, fully vectorized replacements for the reference's per-image
+helpers: index_to_flow (corres_generation_arch.py:29-46), tensor_shift
+(arch_util.py:291-315), the 9-candidate shifted-offset stacks
+(corres_generation_arch.py:72-104), and flow_warp (arch_util.py:191-220).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def index_to_flow(max_idx, pad=2):
+    """Convert flat argmax indices into a relative flow field.
+
+    Args:
+        max_idx: (h, w) int array of flat row-major ref-patch indices
+            (values in [0, h*w)).
+        pad: zero-padding added on the bottom/right so the flow matches the
+            pre-crop feature size (the reference pads by 2 for patch_size 3,
+            corres_generation_arch.py:44).
+
+    Returns:
+        (h+pad, w+pad, 2) float32 flow, last dim (x, y) displacement —
+        the reference's channel order (:41-43).
+    """
+    h, w = max_idx.shape
+    flow_w = (max_idx % w).astype(jnp.float32)
+    flow_h = (max_idx // w).astype(jnp.float32)
+    grid_x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    grid_y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    flow = jnp.stack((flow_w - grid_x, flow_h - grid_y), axis=-1)
+    return jnp.pad(flow, ((0, pad), (0, pad), (0, 0)))
+
+
+def tensor_shift(x, shift, fill_val=0.0):
+    """Shift a (h, w, c) array down/right by (shift_h, shift_w) with fill.
+
+    Equivalent to arch_util.tensor_shift (:291-315) without the batch dim.
+    """
+    shift_h, shift_w = shift
+    return jnp.pad(
+        x, ((shift_h, 0), (shift_w, 0), (0, 0)),
+        constant_values=fill_val)[:x.shape[0], :x.shape[1], :]
+
+
+def shifted_offsets(flow, step):
+    """Stack the 9 (i*step, j*step) shifted copies of a flow field.
+
+    flow: (h, w, 2). Returns (9, h, w, 2) with candidates ordered
+    (i, j) row-major — the reference's loop order
+    (corres_generation_arch.py:73-76).
+    """
+    outs = [tensor_shift(flow, (i * step, j * step))
+            for i in range(3) for j in range(3)]
+    return jnp.stack(outs, axis=0)
+
+
+def upsample_flow(flow, factor):
+    """Nearest-upsample a flow field by an integer factor and scale its
+    magnitude accordingly (repeat_interleave x factor, values x factor;
+    corres_generation_arch.py:81-83)."""
+    up = jnp.repeat(jnp.repeat(flow, factor, axis=0), factor, axis=1)
+    return up * float(factor)
+
+
+@functools.partial(jax.jit, static_argnames=('patch_size',))
+def match_to_pre_offsets(max_idx, patch_size=3):
+    """From a single image's match indices to the three-scale 9-candidate
+    pre-offset stacks used by the restoration net.
+
+    Args:
+        max_idx: (h-2, w-2) flat match indices at relu3_1 scale.
+
+    Returns:
+        dict with 'relu3_1': (9, h, w, 2), 'relu2_1': (9, 2h, 2w, 2),
+        'relu1_1': (9, 4h, 4w, 2); last dim (x, y).
+    """
+    pad = patch_size - 1
+    flow3 = index_to_flow(max_idx, pad=pad)           # (h, w, 2)
+    offsets3 = shifted_offsets(flow3, step=1)
+
+    flow2 = upsample_flow(flow3, 2)
+    offsets2 = shifted_offsets(flow2, step=2)
+
+    flow1 = upsample_flow(flow3, 4)
+    offsets1 = shifted_offsets(flow1, step=4)
+
+    return {'relu3_1': offsets3, 'relu2_1': offsets2, 'relu1_1': offsets1}
+
+
+def batched_pre_offsets(max_idx, patch_size=3):
+    """vmap of ``match_to_pre_offsets`` over the batch: (B, h-2, w-2) ->
+    dict of (B, 9, H, W, 2)."""
+    return jax.vmap(
+        functools.partial(match_to_pre_offsets,
+                          patch_size=patch_size))(max_idx)
+
+
+def flow_warp(x, flow):
+    """Bilinear warp of x:(B, H, W, C) by flow:(B, H, W, 2) ((x, y) order),
+    zero padding. Mirrors arch_util.flow_warp's grid_sample semantics
+    (align_corners=False normalization round trip reduces to sampling at
+    grid + flow with zero padding)."""
+    b, h, w, c = x.shape
+    grid_y = jnp.arange(h, dtype=jnp.float32)[:, None]
+    grid_x = jnp.arange(w, dtype=jnp.float32)[None, :]
+    sy = grid_y + flow[..., 1]
+    sx = grid_x + flow[..., 0]
+
+    def sample_one(img, sy, sx):
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = sy - y0
+        fx = sx - x0
+
+        def corner(dy, dx):
+            yy = y0.astype(jnp.int32) + dy
+            xx = x0.astype(jnp.int32) + dx
+            wy = jnp.where(dy == 0, 1.0 - fy, fy)
+            wx = jnp.where(dx == 0, 1.0 - fx, fx)
+            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            weight = (wy * wx * inb).astype(img.dtype)
+            flat = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            vals = img.reshape(h * w, c)[flat.reshape(-1)].reshape(h, w, c)
+            return vals * weight[..., None]
+
+        return corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1)
+
+    return jax.vmap(sample_one)(x, sy, sx)

@@ -1,0 +1,103 @@
+"""Dense patch matching between input and reference features.
+
+This is the TPU-native replacement for the reference's chunked conv2d
+correlation search (mmsr/models/archs/ref_map_util.py:26-86 +
+corres_generation_arch.py:48-117). Instead of iterating 3x3 ref patches as
+conv filters in Python-loop chunks, both feature maps are unfolded into
+patch-descriptor matrices and correlated with one large MXU matmul
+(or a blocked Pallas kernel with an online max/argmax reduction for big
+images — see ``pallas_patch_match``).
+
+Semantics pinned to the reference:
+- features are first L2-normalized per spatial position over channels
+  (corres_generation_arch.py:56-58);
+- ref patch descriptors are L2-normalized per patch with a +1e-5 on the
+  norm (ref_map_util.py:63);
+- correlation = <input 3x3 window, normalized ref patch>, valid positions
+  only (no padding) -> output spatial size (h-2, w-2) for patch_size 3;
+- argmax over ref patches, first-max-wins tie-breaking (torch chunked
+  running-max merge uses strict '>', ref_map_util.py:74);
+- max value divided by the input patch norm (+1e-5) (ref_map_util.py:78-84).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def normalize_per_pixel(feat, eps=1e-12):
+    """L2-normalize each spatial position's channel vector. feat: (H, W, C).
+
+    Matches torch F.normalize(x.reshape(c, -1), dim=0) semantics
+    (eps clamp on the norm).
+    """
+    norm = jnp.sqrt(jnp.sum(feat * feat, axis=-1, keepdims=True))
+    return feat / jnp.maximum(norm, eps)
+
+
+def unfold_descriptors(feat, patch_size=3):
+    """Unfold (H, W, C) into per-position patch descriptors.
+
+    Returns (H-p+1, W-p+1, p*p*C): descriptor[i, j] flattens the
+    patch feat[i:i+p, j:j+p, :] in row-major (ky, kx, c) order — the same
+    element order the reference's unfold produces per patch.
+    """
+    h, w, c = feat.shape
+    p = patch_size
+    rows = []
+    for ky in range(p):
+        for kx in range(p):
+            rows.append(feat[ky:h - p + 1 + ky, kx:w - p + 1 + kx, :])
+    # (H', W', p*p, C) -> (H', W', p*p*C)
+    stacked = jnp.stack(rows, axis=2)
+    return stacked.reshape(h - p + 1, w - p + 1, p * p * c)
+
+
+@functools.partial(jax.jit, static_argnames=('patch_size',))
+def patch_match(feat_in, feat_ref, patch_size=3):
+    """Dense patch matching for a single image pair.
+
+    Args:
+        feat_in: (H, W, C) input features (bicubic-upsampled LR branch).
+        feat_ref: (H, W, C) reference features.
+        patch_size: patch side length (default 3).
+
+    Returns:
+        (max_idx, max_val): both (H-p+1, W-p+1). ``max_idx`` is the flat
+        row-major index of the best-matching ref patch; ``max_val`` the
+        normalized correlation.
+    """
+    feat_in = normalize_per_pixel(feat_in)
+    feat_ref = normalize_per_pixel(feat_ref)
+
+    d_in = unfold_descriptors(feat_in, patch_size)    # (H', W', D)
+    d_ref = unfold_descriptors(feat_ref, patch_size)  # (H', W', D)
+    hh, ww, dim = d_in.shape
+    q = d_in.reshape(hh * ww, dim)
+    r = d_ref.reshape(-1, dim)
+
+    r_norm = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True)) + 1e-5
+    r = r / r_norm
+
+    # One large MXU matmul: (n_q, D) @ (D, n_r).
+    corr = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+    max_idx = jnp.argmax(corr, axis=-1)
+    max_val = jnp.max(corr, axis=-1)
+
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1)) + 1e-5
+    max_val = max_val / q_norm
+
+    return (max_idx.reshape(hh, ww).astype(jnp.int32),
+            max_val.reshape(hh, ww))
+
+
+def batched_patch_match(feat_in, feat_ref, patch_size=3):
+    """vmap of ``patch_match`` over the batch axis.
+
+    Replaces the reference's per-image Python loop
+    (corres_generation_arch.py:52).
+    feat_in/feat_ref: (B, H, W, C).
+    """
+    return jax.vmap(
+        functools.partial(patch_match, patch_size=patch_size))(feat_in,
+                                                               feat_ref)
