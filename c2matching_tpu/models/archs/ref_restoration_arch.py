@@ -1,0 +1,199 @@
+"""Restoration network with correspondence-seeded dynamic aggregation.
+
+Parity target: mmsr/models/archs/ref_restoration_arch.py (ContentExtractor
+:8-27, RestorationNet :30-65, DynamicAggregationRestoration :68-187) and the
+DCN_sep_pre_multi_offset wrapper (DCNv2/dcn_v2.py:187-253), rebuilt on the
+TPU-native modulated deformable conv op (c2matching_tpu.ops.deform_conv).
+
+Init parity: srntt_init_weights normal(0, 0.02) over all convs
+(ref_restoration_arch.py:39), conv_offset_mask layers zero-initialized
+(:42-49), DynAgg main weight uniform(-1/sqrt(Cin*k*k), ..) with zero bias
+(dcn_v2.py reset_parameters).
+
+Param naming keeps the reference's substrings ('offset', 'small', 'medium')
+so the 4-group optimizer split (ref_restoration_model.py:56-68) maps onto
+flax param paths unchanged.
+"""
+import math
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.deform_conv import modulated_deform_conv
+from ...ops.resize import upscale
+from ...utils.registry import ARCH_REGISTRY
+from .arch_util import ResBlockStack, lrelu, pixel_shuffle, srntt_normal_init
+
+
+def _dcn_weight_init(cin, k=9):
+    stdv = 1.0 / math.sqrt(cin * k)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+        return jax.random.uniform(key, shape, dtype, -stdv, stdv)
+
+    return init
+
+
+class DynAgg(nn.Module):
+    """DCN_sep_pre_multi_offset: modulated deformable conv whose offsets =
+    learned residual (from a separate feature) + precomputed match offsets
+    (dcn_v2.py:187-253).
+
+    Channel bookkeeping matches the CUDA kernel's expected layout: the
+    learned conv emits G*3*K channels chunked into (o1, o2, mask); the
+    (o1 ++ o2) concatenation is read group-major with (y, x) interleaved
+    per tap — here realized as a reshape to (..., G, K, 2).
+    """
+    channels: int
+    deformable_groups: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref_feat, offset_feat, pre_offset):
+        """
+        Args:
+            ref_feat:    (B, H, W, C) feature to warp (ref VGG features).
+            offset_feat: (B, H, W, C') feature the offsets are predicted
+                         from (the 'extra_offset_mask' input).
+            pre_offset:  (B, 9, H, W, 2) precomputed match offsets,
+                         last dim (x, y) — reference order
+                         (corres_generation_arch.py:106).
+        Returns:
+            (B, H, W, C) aggregated feature.
+        """
+        g = self.deformable_groups
+        k = 9
+        b, h, w, _ = offset_feat.shape
+
+        out = nn.Conv(3 * g * k, (3, 3), padding=1,
+                      kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                      name='conv_offset_mask')(offset_feat)
+        o1 = out[..., :g * k]
+        o2 = out[..., g * k:2 * g * k]
+        mask_raw = out[..., 2 * g * k:]
+
+        offset = jnp.concatenate([o1, o2], axis=-1).reshape(b, h, w, g, k, 2)
+        mask = nn.sigmoid(mask_raw).reshape(b, h, w, g, k)
+
+        # (B, 9, H, W, 2[x,y]) -> (B, H, W, 1, 9, 2[y,x]), broadcast over
+        # groups (the torch repeat along dim1, dcn_v2.py:236-242).
+        pre = pre_offset.transpose(0, 2, 3, 1, 4)[..., ::-1]
+        offset = offset + pre[:, :, :, None, :, :].astype(offset.dtype)
+
+        weight = self.param(
+            'weight', _dcn_weight_init(self.channels), (k, self.channels,
+                                                        self.channels))
+        bias = self.param('bias', nn.initializers.zeros, (self.channels,))
+        out = modulated_deform_conv(ref_feat, offset, mask, weight, bias)
+        return out.astype(ref_feat.dtype)
+
+
+class ContentExtractor(nn.Module):
+    """conv + n residual blocks on the LR input
+    (ref_restoration_arch.py:8-27). kernel_init is srntt-normal because
+    RestorationNet re-initializes everything (:39)."""
+    nf: int = 64
+    n_blocks: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feat = nn.Conv(self.nf, (3, 3), padding=1,
+                       kernel_init=srntt_normal_init(),
+                       bias_init=nn.initializers.zeros, dtype=self.dtype,
+                       name='conv_first')(x)
+        feat = lrelu(feat)
+        return ResBlockStack(nf=self.nf, n_blocks=self.n_blocks,
+                             kernel_init=srntt_normal_init(),
+                             dtype=self.dtype, name='body')(feat)
+
+
+class DynamicAggregationRestoration(nn.Module):
+    """3-scale coarse-to-fine decoder with DynAgg at each scale
+    (ref_restoration_arch.py:68-187)."""
+    ngf: int = 64
+    n_blocks: int = 16
+    groups: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pre_offset, img_ref_feat):
+        conv_kwargs = dict(kernel_init=srntt_normal_init(),
+                           bias_init=nn.initializers.zeros, dtype=self.dtype)
+        ngf = self.ngf
+
+        def scale_stage(x, scale_name, ref_key, ref_ch, tail):
+            ref = img_ref_feat[ref_key]
+            off = jnp.concatenate([x, ref], axis=-1)
+            off = lrelu(nn.Conv(ref_ch, (3, 3), padding=1,
+                                name=f'{scale_name}_offset_conv1',
+                                **conv_kwargs)(off))
+            off = lrelu(nn.Conv(ref_ch, (3, 3), padding=1,
+                                name=f'{scale_name}_offset_conv2',
+                                **conv_kwargs)(off))
+            swapped = lrelu(DynAgg(channels=ref_ch,
+                                   deformable_groups=self.groups,
+                                   dtype=self.dtype,
+                                   name=f'{scale_name}_dyn_agg')(
+                                       ref, off, pre_offset[ref_key]))
+            h = jnp.concatenate([x, swapped], axis=-1)
+            h = lrelu(nn.Conv(ngf, (3, 3), padding=1,
+                              name=f'head_{scale_name}', **conv_kwargs)(h))
+            h = ResBlockStack(nf=ngf, n_blocks=self.n_blocks,
+                              kernel_init=srntt_normal_init(),
+                              dtype=self.dtype,
+                              name=f'body_{scale_name}')(h) + x
+            return tail(h)
+
+        def tail_up(name):
+            def tail(h):
+                h = nn.Conv(ngf * 4, (3, 3), padding=1,
+                            name=f'tail_{name}', **conv_kwargs)(h)
+                return lrelu(pixel_shuffle(h, 2))
+            return tail
+
+        def tail_final(h):
+            h = lrelu(nn.Conv(ngf // 2, (3, 3), padding=1,
+                              name='tail_large_conv1', **conv_kwargs)(h))
+            return nn.Conv(3, (3, 3), padding=1, name='tail_large_conv2',
+                           **conv_kwargs)(h)
+
+        x = scale_stage(x, 'small', 'relu3_1', 256, tail_up('small'))
+        x = scale_stage(x, 'medium', 'relu2_1', 128, tail_up('medium'))
+        x = scale_stage(x, 'large', 'relu1_1', 64, tail_final)
+        return x
+
+
+@ARCH_REGISTRY.register
+class RestorationNet(nn.Module):
+    """Top-level generator: content extractor + dynamic aggregation
+    decoder + bilinear x4 base (ref_restoration_arch.py:30-65)."""
+    ngf: int = 64
+    n_blocks: int = 16
+    groups: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pre_offset, img_ref_feat):
+        """
+        Args:
+            x: (B, h, w, 3) LR input.
+            pre_offset: dict relu{1,2,3}_1 -> (B, 9, H_s, W_s, 2) offsets.
+            img_ref_feat: dict relu{1,2,3}_1 -> (B, H_s, W_s, C_s) VGG
+                features of the HR reference.
+        Returns:
+            (B, 4h, 4w, 3) restored image.
+        """
+        base = upscale(x, 4, 'bilinear')
+        content_feat = ContentExtractor(nf=self.ngf, n_blocks=self.n_blocks,
+                                        dtype=self.dtype,
+                                        name='content_extractor')(x)
+        restored = DynamicAggregationRestoration(
+            ngf=self.ngf, n_blocks=self.n_blocks, groups=self.groups,
+            dtype=self.dtype, name='dyn_agg_restore')(content_feat,
+                                                      pre_offset,
+                                                      img_ref_feat)
+        return restored + base

@@ -3,19 +3,25 @@
 Replaces the reference's CUDA extension (mmsr/models/archs/DCNv2/src/cuda/
 dcn_v2_cuda.cu:42-172 forward, dcn_v2_im2col_cuda.cu:125-195 gather kernel)
 with a pure-XLA formulation: bilinear gather at learned offsets x sigmoid
-mask, then one MXU contraction with the conv weight. Being pure jnp, JAX
+mask, then MXU contractions with the conv weight. Being pure jnp, JAX
 autodiff yields exactly the reference's analytic gradients (bilinear
 coordinate weights for d/d-offset — dcn_v2_im2col_cuda.cu:82-123 — and
 scatter-add for d/d-input — :197-254) with no custom VJP needed, and the op
 is arbitrarily differentiable.
 
-Layout (TPU-first, differs deliberately from the reference's NCHW):
+Layout (TPU-first, deliberately different from the reference's NCHW):
     x:      (B, H, W, C)          NHWC
     offset: (B, Ho, Wo, G, K, 2)  per deformable group g, kernel tap k;
                                   last dim is (dy, dx)
     mask:   (B, Ho, Wo, G, K)     modulation scalars (post-sigmoid)
     weight: (K, C, Cout)          K = kh*kw taps, row-major (ky, kx)
     bias:   (Cout,)
+
+TPU shape discipline: all large intermediates keep either the pixel count
+P = Ho*Wo or the channel count C in the trailing (lane) dimension —
+(P, G, K)-trailing layouts tile-pad 14x on TPU and OOM HBM. The K taps are
+processed with a lax.scan accumulating (P, Cout), so peak temp memory is
+one (G, P, Cg) gather per corner.
 
 Sampling semantics pinned to the CUDA kernel
 (dcn_v2_im2col_cuda.cu:166-189): sample point
@@ -29,22 +35,21 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear_gather(x, sy, sx):
-    """Bilinear sample of x:(H, W, G, Cg) at per-(position, group, tap)
-    float coords sy/sx:(P, G, K). Returns (P, G, K, Cg).
+def _bilinear_gather_tap(xf, sy, sx, h, w):
+    """Bilinear sample for one kernel tap.
 
-    Zero-padding semantics identical to dmcn_im2col_bilinear +
-    out-of-range guard (dcn_v2_im2col_cuda.cu:25-54, 180-188).
+    Args:
+        xf: (G, H*W, Cg) per-group flattened feature.
+        sy, sx: (G, P) float sample coords.
+    Returns:
+        (G, P, Cg) samples with zero padding semantics.
     """
-    h, w, g, cg = x.shape
-
     valid = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
 
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
     fy = sy - y0
     fx = sx - x0
-
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
@@ -54,57 +59,58 @@ def _bilinear_gather(x, sy, sx):
         wy = jnp.where(dy == 0, 1.0 - fy, fy)
         wx = jnp.where(dx == 0, 1.0 - fx, fx)
         inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        weight = wy * wx * inb.astype(x.dtype)
-        yyc = jnp.clip(yy, 0, h - 1)
-        xxc = jnp.clip(xx, 0, w - 1)
-        flat_idx = yyc * w + xxc  # (P, G, K)
-        xf = x.reshape(h * w, g, cg)
-        # gathered[p, g, k, :] = xf[flat_idx[p, g, k], g, :]
-        gathered = xf[flat_idx, jnp.arange(g)[None, :, None], :]
-        return gathered * weight[..., None]
+        weight = wy * wx * inb.astype(xf.dtype)          # (G, P)
+        flat = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+        # per-group row gather: (G, H*W, Cg)[g, flat[g, p]] -> (G, P, Cg)
+        gathered = jnp.take_along_axis(xf, flat[:, :, None], axis=1)
+        return gathered * weight[:, :, None]
 
-    out = (corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1))
-    return out * valid[..., None].astype(x.dtype)
+    out = corner(0, 0) + corner(0, 1) + corner(1, 0) + corner(1, 1)
+    return out * valid[:, :, None].astype(xf.dtype)
 
 
 def _mdc_single(x, offset, mask, weight, kernel_size, stride, padding,
                 dilation):
-    """Single-image modulated deformable conv. See module docstring shapes
-    (without the leading batch dim)."""
+    """Single-image modulated deformable conv (see module docstring,
+    shapes without the leading batch dim)."""
     h, w, c = x.shape
     ho, wo, g, k, _ = offset.shape
     kh, kw = kernel_size
     cg = c // g
-
-    # Base sampling grid: out position (i, j), tap (ky, kx) ->
-    # (i*stride - pad + ky*dil, j*stride - pad + kx*dil).
-    oy = jnp.arange(ho) * stride[0] - padding[0]
-    ox = jnp.arange(wo) * stride[1] - padding[1]
-    ty = jnp.arange(kh) * dilation[0]
-    tx = jnp.arange(kw) * dilation[1]
-    base_y = (oy[:, None, None] + (ty[:, None] + jnp.zeros((kh, kw)))
-              .reshape(-1)[None, None, :])       # (Ho, 1, K) via broadcast
-    base_x = (ox[None, :, None] + (jnp.zeros((kh, kw)) + tx[None, :])
-              .reshape(-1)[None, None, :])       # (1, Wo, K)
-    base_y = jnp.broadcast_to(base_y, (ho, wo, kh * kw))
-    base_x = jnp.broadcast_to(base_x, (ho, wo, kh * kw))
-
-    sy = base_y[:, :, None, :] + offset[..., 0]  # (Ho, Wo, G, K)
-    sx = base_x[:, :, None, :] + offset[..., 1]
-
     p = ho * wo
-    sampled = _bilinear_gather(
-        x.reshape(h, w, g, cg),
-        sy.reshape(p, g, k), sx.reshape(p, g, k))  # (P, G, K, Cg)
-    sampled = sampled * mask.reshape(p, g, k)[..., None]
+    cout = weight.shape[-1]
 
-    # (P, G, K, Cg) -> (P, K, G*Cg) = (P, K, C); contract with (K, C, Cout).
-    cols = sampled.transpose(0, 2, 1, 3).reshape(p, k, c)
-    out = jax.lax.dot_general(
-        cols.reshape(p, k * c), weight.reshape(k * c, -1),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return out.reshape(ho, wo, -1)
+    # Base sampling grid per tap: (K, P).
+    oy = jnp.arange(ho, dtype=x.dtype) * stride[0] - padding[0]
+    ox = jnp.arange(wo, dtype=x.dtype) * stride[1] - padding[1]
+    base = (oy[:, None] + jnp.zeros((ho, wo), x.dtype),
+            ox[None, :] + jnp.zeros((ho, wo), x.dtype))
+    ky = (jnp.arange(kh, dtype=x.dtype)[:, None] *
+          dilation[0]).repeat(kw, 1).reshape(-1)          # (K,)
+    kx = (jnp.arange(kw, dtype=x.dtype)[None, :] *
+          dilation[1]).repeat(kh, 0).reshape(-1)          # (K,)
+
+    # offsets to (K, G, P) — large P stays in the lane dim.
+    off_y = offset[..., 0].reshape(p, g, k).transpose(2, 1, 0)
+    off_x = offset[..., 1].reshape(p, g, k).transpose(2, 1, 0)
+    sy = base[0].reshape(p)[None, None, :] + ky[:, None, None] + off_y
+    sx = base[1].reshape(p)[None, None, :] + kx[:, None, None] + off_x
+    mask_kgp = mask.reshape(p, g, k).transpose(2, 1, 0)
+
+    xf = x.reshape(h * w, g, cg).transpose(1, 0, 2)       # (G, H*W, Cg)
+
+    def tap_body(acc, tap):
+        sy_k, sx_k, m_k, w_k = tap      # (G,P) (G,P) (G,P) (C,Cout)
+        vals = _bilinear_gather_tap(xf, sy_k, sx_k, h, w)  # (G, P, Cg)
+        vals = vals * m_k[:, :, None]
+        cols = vals.transpose(1, 0, 2).reshape(p, c)
+        acc = acc + jnp.dot(cols, w_k,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((p, cout), jnp.float32)
+    out, _ = jax.lax.scan(tap_body, acc0, (sy, sx, mask_kgp, weight))
+    return out.reshape(ho, wo, cout)
 
 
 @functools.partial(

@@ -60,9 +60,16 @@ def shifted_offsets(flow, step):
 def upsample_flow(flow, factor):
     """Nearest-upsample a flow field by an integer factor and scale its
     magnitude accordingly (repeat_interleave x factor, values x factor;
-    corres_generation_arch.py:81-83)."""
-    up = jnp.repeat(jnp.repeat(flow, factor, axis=0), factor, axis=1)
-    return up * float(factor)
+    corres_generation_arch.py:81-83).
+
+    Implemented as broadcast+reshape rather than jnp.repeat: repeat's
+    window lowering miscompiles when fused across stage boundaries on TPU
+    (fusion_emitter window_bounds!=strides check).
+    """
+    h, w, c = flow.shape
+    f = factor
+    up = jnp.broadcast_to(flow[:, None, :, None, :], (h, f, w, f, c))
+    return up.reshape(h * f, w * f, c) * float(factor)
 
 
 @functools.partial(jax.jit, static_argnames=('patch_size',))

@@ -12,22 +12,51 @@ import jax
 import jax.numpy as jnp
 
 
+def _axis_lerp(x, axis, factor):
+    """1-D bilinear upsample along ``axis`` with half-pixel centers
+    (torch align_corners=False), written as two gathers + lerp.
+
+    jax.image.resize lowers to a kernel-2/stride-1 window convolution that
+    trips the TPU fusion emitter's bounds==strides check when fused into a
+    larger program — this formulation avoids window ops entirely.
+    """
+    n = x.shape[axis]
+    coords = (jnp.arange(n * factor, dtype=jnp.float32) + 0.5) / factor - 0.5
+    i0f = jnp.floor(coords)
+    frac = coords - i0f
+    i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1)
+    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n * factor
+    frac = frac.reshape(shape).astype(x.dtype)
+    return x0 * (1.0 - frac) + x1 * frac
+
+
 @functools.partial(jax.jit, static_argnames=('factor', 'method'))
 def upscale(x, factor=4, method='bilinear'):
     """Upsample NHWC by an integer factor.
 
     'bilinear' matches torch F.interpolate(..., mode='bilinear',
-    align_corners=False) — half-pixel centers, which is also
-    jax.image.resize's convention.
+    align_corners=False) — half-pixel centers, separable along H then W.
     """
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * factor, w * factor, c), method=method)
+    if method == 'nearest':
+        return nearest_up(x, factor)
+    assert method == 'bilinear', method
+    return _axis_lerp(_axis_lerp(x, 1, factor), 2, factor)
 
 
 @functools.partial(jax.jit, static_argnames=('factor',))
 def nearest_up(x, factor):
-    """Nearest-neighbor integer upsample of NHWC (repeat_interleave)."""
-    return jnp.repeat(jnp.repeat(x, factor, axis=1), factor, axis=2)
+    """Nearest-neighbor integer upsample of NHWC (repeat_interleave).
+
+    broadcast+reshape instead of jnp.repeat — see
+    flow.upsample_flow for the TPU fusion rationale."""
+    b, h, w, c = x.shape
+    f = factor
+    up = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, f, w, f, c))
+    return up.reshape(b, h * f, w * f, c)
 
 
 def pixel_shuffle(x, factor=2):
