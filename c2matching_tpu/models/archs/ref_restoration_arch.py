@@ -17,6 +17,7 @@ flax param paths unchanged.
 import math
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -80,7 +81,11 @@ class DynAgg(nn.Module):
 
         # (B, 9, H, W, 2[x,y]) -> (B, H, W, 1, 9, 2[y,x]), broadcast over
         # groups (the torch repeat along dim1, dcn_v2.py:236-242).
-        pre = pre_offset.transpose(0, 2, 3, 1, 4)[..., ::-1]
+        # The x/y swap is a stack of slices, NOT a reverse: a reversed
+        # size-2 axis fused as a fusion input trips the TPU fusion
+        # emitter's window bounds==strides check (bounds 2, stride 1).
+        pre_t = pre_offset.transpose(0, 2, 3, 1, 4)
+        pre = jnp.stack((pre_t[..., 1], pre_t[..., 0]), axis=-1)
         offset = offset + pre[:, :, :, None, :, :].astype(offset.dtype)
 
         weight = self.param(
@@ -113,10 +118,18 @@ class ContentExtractor(nn.Module):
 
 class DynamicAggregationRestoration(nn.Module):
     """3-scale coarse-to-fine decoder with DynAgg at each scale
-    (ref_restoration_arch.py:68-187)."""
+    (ref_restoration_arch.py:68-187).
+
+    ``stage_barriers`` inserts jax.lax.optimization_barrier between the
+    scales: the TPU fusion emitter miscompiles (bounds!=strides check
+    abort) when producers from one scale fuse across into the next
+    scale's gather fusions; the barrier pins the stage boundary. No
+    effect on values.
+    """
     ngf: int = 64
     n_blocks: int = 16
     groups: int = 8
+    stage_barriers: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -162,7 +175,11 @@ class DynamicAggregationRestoration(nn.Module):
                            **conv_kwargs)(h)
 
         x = scale_stage(x, 'small', 'relu3_1', 256, tail_up('small'))
+        if self.stage_barriers:
+            x = jax.lax.optimization_barrier(x)
         x = scale_stage(x, 'medium', 'relu2_1', 128, tail_up('medium'))
+        if self.stage_barriers:
+            x = jax.lax.optimization_barrier(x)
         x = scale_stage(x, 'large', 'relu1_1', 64, tail_final)
         return x
 

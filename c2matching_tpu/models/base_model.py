@@ -1,0 +1,208 @@
+"""Base stage-model: device mesh, optimizers, checkpointing, validation.
+
+Parity target: mmsr/models/base_model.py. The torch device/DDP plumbing
+(model_to_device :62-75) becomes mesh + sharding (params replicated, batch
+sharded — XLA all-reduces gradients over ICI); scheduler setup (:77-108)
+becomes optax schedule multipliers; save/load (:185-307) keeps the
+reference's artifact roles (net_<label>_<iter> weights + <iter>.state
+trainer state, 'latest' alias) in flax msgpack, with transparent .pth
+import for reference-pretrained weights.
+"""
+import logging
+import os
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..parallel import get_mesh, replicate, shard_batch
+from ..utils import pth_import
+from .lr_scheduler import build_schedule
+
+logger = logging.getLogger('base')
+
+
+def _scale_by_tree(lr_tree):
+    """optax transform multiplying each update leaf by a per-leaf factor
+    (the 4-LR-group split, ref_restoration_model.py:70-85)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, s: u * s, updates, lr_tree), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_adam(base_lr, betas=(0.9, 0.999), weight_decay=0.0,
+              schedule_fn=None, lr_tree=None, eps=1e-8):
+    """torch.optim.Adam-faithful optimizer:
+    update = -lr(step) * m_hat / (sqrt(v_hat) + eps), with torch-style L2
+    weight decay folded into the gradient before the moments."""
+    txs = []
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    if lr_tree is not None:
+        txs.append(_scale_by_tree(lr_tree))
+        base = 1.0
+    else:
+        base = base_lr
+    if schedule_fn is None:
+        txs.append(optax.scale(-base))
+    else:
+        txs.append(optax.scale_by_schedule(
+            lambda step: -base * schedule_fn(step)))
+    return optax.chain(*txs)
+
+
+class BaseModel:
+    """Shared infrastructure for all stage models (API parity with
+    base_model.py:31-57: feed_data/optimize_parameters/test/validation/
+    save/resume_training are implemented by subclasses)."""
+
+    def __init__(self, opt):
+        self.opt = opt
+        self.is_train = opt['is_train']
+        self.rank = jax.process_index()
+        self.mesh = get_mesh()
+        self.log_dict = {}
+        self.schedule_fn = None
+        if self.is_train and opt.get('train'):
+            self.schedule_fn = build_schedule(opt['train'])
+
+    # ------------------------------------------------------------------ util
+    def replicate(self, tree):
+        return replicate(tree, self.mesh)
+
+    def shard_batch(self, batch):
+        return shard_batch(batch, self.mesh)
+
+    def print_network(self, module, variables=None):
+        name = module.__class__.__name__
+        if variables is not None:
+            n = sum(int(np.prod(p.shape))
+                    for p in jax.tree.leaves(variables))
+            logger.info(f'Network: {name}, with parameters: {n:,d}')
+        else:
+            logger.info(f'Network: {name}')
+
+    def current_learning_rates(self, step):
+        """Host-side LR report for logging (base_model.py:179-183)."""
+        mult = self.schedule_fn(step) if self.schedule_fn else 1.0
+        return [lr * mult for lr in self.base_lrs()]
+
+    def base_lrs(self):
+        return [self.opt['train'].get('lr_g', 0) or 0]
+
+    # ---------------------------------------------------------- checkpoints
+    def _model_dir(self):
+        return self.opt['path']['models']
+
+    def save_network(self, variables, net_label, current_iter):
+        """net_<label>_<iter>.ckpt + net_<label>_latest.ckpt
+        (base_model.py:185-206; -1 => latest only)."""
+        if self.rank != 0:
+            return
+        os.makedirs(self._model_dir(), exist_ok=True)
+        data = serialization.msgpack_serialize(
+            jax.tree.map(np.asarray, jax.device_get(variables)))
+        if current_iter != -1:
+            path = osp.join(self._model_dir(),
+                            f'{net_label}_{current_iter}.ckpt')
+            with open(path, 'wb') as f:
+                f.write(data)
+        latest = osp.join(self._model_dir(), f'{net_label}_latest.ckpt')
+        with open(latest, 'wb') as f:
+            f.write(data)
+
+    def load_network(self, path, kind):
+        """Load weights from .ckpt (ours) or .pth (reference format;
+        base_model.py:208-265 load tolerance becomes explicit import
+        shims). ``kind``: g | d | extractor | teacher | student | vgg19 |
+        vgg16."""
+        logger.info(f'Loading {kind} model from {path}.')
+        if path.endswith('.pth'):
+            if kind in ('extractor', 'teacher', 'student'):
+                return pth_import.import_contras_extractor(path)
+            if kind == 'g':
+                return pth_import.import_restoration_net(path)
+            if kind == 'd':
+                return pth_import.import_discriminator(path)
+            if kind.startswith('vgg'):
+                return pth_import.import_torchvision_vgg(path, kind)
+            raise ValueError(f'unknown .pth kind {kind}')
+        with open(path, 'rb') as f:
+            return serialization.msgpack_restore(f.read())
+
+    @staticmethod
+    def merge_loaded(init_variables, loaded):
+        """Graft loaded leaves onto an init tree (keeps missing leaves,
+        mirrors the reference's non-strict load warnings,
+        base_model.py:208-243)."""
+
+        def merge(init_node, loaded_node, path=''):
+            if not isinstance(init_node, dict):
+                arr = jnp.asarray(loaded_node)
+                if arr.shape != init_node.shape:
+                    logger.warning(
+                        f'shape mismatch at {path}: checkpoint '
+                        f'{arr.shape} vs model {init_node.shape}; keeping '
+                        'model init')
+                    return init_node
+                return arr.astype(init_node.dtype)
+            out = {}
+            for k, v in init_node.items():
+                if loaded_node is not None and k in loaded_node:
+                    out[k] = merge(v, loaded_node[k], f'{path}/{k}')
+                else:
+                    logger.warning(f'missing key in checkpoint: {path}/{k}')
+                    out[k] = v
+            for k in (loaded_node or {}):
+                if k not in init_node:
+                    logger.warning(f'unexpected key in checkpoint: '
+                                   f'{path}/{k}')
+            return out
+
+        return merge(init_variables, loaded)
+
+    def save_training_state(self, epoch, current_iter, state_tree):
+        """<iter>.state with {epoch, iter, optimizer/scheduler state}
+        (base_model.py:267-290)."""
+        if self.rank != 0:
+            return
+        state_dir = self.opt['path']['training_state']
+        os.makedirs(state_dir, exist_ok=True)
+        payload = {
+            'epoch': np.asarray(epoch),
+            'iter': np.asarray(current_iter),
+            'state': jax.tree.map(
+                np.asarray,
+                serialization.to_state_dict(jax.device_get(state_tree))),
+        }
+        with open(osp.join(state_dir, f'{current_iter}.state'), 'wb') as f:
+            f.write(serialization.msgpack_serialize(payload))
+
+    def load_training_state(self, path, state_template):
+        """Restore a .state file onto the live optimizer-state structure."""
+        with open(path, 'rb') as f:
+            raw = serialization.msgpack_restore(f.read())
+        state = serialization.from_state_dict(state_template, raw['state'])
+        return int(raw['epoch']), int(raw['iter']), state
+
+    # ------------------------------------------------------------ validation
+    def validation(self, dataloader, current_iter, tb_logger,
+                   save_img=False):
+        """Dispatch mirroring base_model.py:44-57; distributed eval is
+        single-process in the reference (sr_model.py:160-162), kept here."""
+        self.nondist_validation(dataloader, current_iter, tb_logger,
+                                save_img)
+
+    def nondist_validation(self, *args, **kwargs):
+        raise NotImplementedError

@@ -1,0 +1,465 @@
+"""Stage-3 model: reference-based restoration (MSE then GAN).
+
+Parity target: mmsr/models/ref_restoration_model.py (:19-370). The torch
+forward/backward flow becomes jitted step functions:
+
+- ``match``: extractor + correspondence generation, stop-gradient (neither
+  is trained in stage 3; the reference runs net_map under grad but no
+  trainable params receive those gradients).
+- ``g_pretrain_step``: pixel loss only (steps <= net_g_pretrain_steps,
+  :199-207).
+- ``d_step``: WGAN real/fake + gradient penalty (:209-232) — grad-of-grad
+  through the discriminator.
+- ``g_step``: pixel + perceptual(fro) + GAN-G losses (:234-269) with the
+  exact (net_d_steps, net_d_init_steps) gating (:241-242).
+
+Optimizer parity: 4 Adam param groups keyed on the same name substrings
+('offset' x 'small'/'medium', :56-68) realized as a per-leaf LR tree.
+"""
+import logging
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils import ProgressBar, imwrite, metrics, tensor2img
+from ..utils.registry import MODEL_REGISTRY
+from . import networks
+from .base_model import make_adam
+from .losses import LOSS_REGISTRY, PerceptualLoss, gan_loss, \
+    gradient_penalty_loss
+from .sr_model import SRModel
+
+logger = logging.getLogger('base')
+
+
+def _offset_lr_tree(params, train_opt):
+    """Per-leaf LR from the reference's name-substring grouping
+    (ref_restoration_model.py:56-68)."""
+    lr_g = train_opt['lr_g']
+    lr_offset = train_opt.get('lr_offset', lr_g) or lr_g
+    lr_relu2 = train_opt.get('lr_relu2_offset', lr_offset) or lr_offset
+    lr_relu3 = train_opt.get('lr_relu3_offset', lr_offset) or lr_offset
+
+    def label(path):
+        name = '/'.join(str(getattr(p, 'key', p)) for p in path)
+        if 'offset' in name:
+            if 'small' in name:
+                return lr_relu3
+            if 'medium' in name:
+                return lr_relu2
+            return lr_offset
+        return lr_g
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: label(path), params)
+
+
+@MODEL_REGISTRY.register
+class RefRestorationModel(SRModel):
+
+    def __init__(self, opt):
+        # --- nets (SRModel.__init__ builds net_g via _init_g_variables)
+        self.net_map = networks.define_net_map(opt)
+        self.net_extractor = networks.define_net_extractor(opt)
+        super().__init__(opt)
+
+        rng = jax.random.PRNGKey(opt.get('manual_seed') or 0)
+        dummy = jnp.zeros((1, 64, 64, 3))
+        self.vars_extractor = self.net_extractor.init(rng, dummy, dummy)
+        feats = self.net_extractor.apply(self.vars_extractor, dummy, dummy)
+        self.vars_map = self.net_map.init(rng, feats, dummy)
+
+        load_path = self.opt['path'].get('pretrain_model_feature_extractor')
+        if load_path:
+            self.vars_extractor = self.merge_loaded(
+                self.vars_extractor,
+                self.load_network(load_path, 'extractor'))
+        load_path = self.opt['path'].get('pretrain_model_vgg')
+        if load_path:
+            # optional torchvision vgg19 for net_map + perceptual loss
+            vgg_vars = self.load_network(
+                load_path, self.net_map.vgg_type)
+            self.vars_map = self.merge_loaded(
+                self.vars_map,
+                {'params': {'vgg': vgg_vars['params']}})
+        self.vars_extractor = self.replicate(self.vars_extractor)
+        self.vars_map = self.replicate(self.vars_map)
+
+        self._match = self._build_match()
+        self._forward = self._build_forward()
+
+        if self.is_train:
+            self.init_training_settings()
+
+    def _init_g_variables(self, rng):
+        lr_size = 40
+        dummy_lr = jnp.zeros((1, lr_size, lr_size, 3))
+        h = lr_size
+        pre_offset = {
+            'relu3_1': jnp.zeros((1, 9, h, h, 2)),
+            'relu2_1': jnp.zeros((1, 9, 2 * h, 2 * h, 2)),
+            'relu1_1': jnp.zeros((1, 9, 4 * h, 4 * h, 2)),
+        }
+        ref_feat = {
+            'relu3_1': jnp.zeros((1, h, h, 256)),
+            'relu2_1': jnp.zeros((1, 2 * h, 2 * h, 128)),
+            'relu1_1': jnp.zeros((1, 4 * h, 4 * h, 64)),
+        }
+        return self.net_g.init(rng, dummy_lr, pre_offset, ref_feat)
+
+    # ------------------------------------------------------------ builders
+    def _build_match(self):
+
+        @jax.jit
+        def match(extractor_params, map_vars, img_in_up, img_ref):
+            feats = self.net_extractor.apply(extractor_params, img_in_up,
+                                             img_ref)
+            pre_offset, img_ref_feat = self.net_map.apply(map_vars, feats,
+                                                          img_ref)
+            return (jax.tree.map(jax.lax.stop_gradient, pre_offset),
+                    jax.tree.map(jax.lax.stop_gradient, img_ref_feat))
+
+        return match
+
+    def _build_forward(self):
+
+        @jax.jit
+        def forward(g_params, img_in_lq, pre_offset, img_ref_feat):
+            return self.net_g.apply({'params': g_params}, img_in_lq,
+                                    pre_offset, img_ref_feat)
+
+        return forward
+
+    def init_training_settings(self):
+        train_opt = self.opt['train']
+
+        # --- discriminator
+        self.net_d = None
+        if self.opt.get('network_d'):
+            self.net_d = networks.define_net_d(self.opt)
+            rng = jax.random.PRNGKey(7)
+            self.vars_d = self.net_d.init(
+                rng, jnp.zeros((1, 160, 160, 3)), train=False)
+            load_path = self.opt['path'].get('pretrain_model_d')
+            if load_path:
+                self.vars_d = self.merge_loaded(
+                    self.vars_d, self.load_network(load_path, 'd'))
+            self.vars_d = self.replicate(self.vars_d)
+            self.print_network(self.net_d, self.vars_d)
+        else:
+            logger.info('No discriminator.')
+
+        # --- losses
+        self.cri_pix = None
+        if train_opt.get('pixel_weight', 0) > 0:
+            cls = LOSS_REGISTRY.get(train_opt['pixel_criterion'])
+            self.cri_pix = cls(loss_weight=train_opt['pixel_weight'],
+                               reduction='mean')
+        else:
+            logger.info('Remove pixel loss.')
+
+        self.cri_perceptual = None
+        self.vars_perceptual = None
+        if train_opt.get('perceptual_opt'):
+            self.cri_perceptual = PerceptualLoss(
+                **{k: v for k, v in train_opt['perceptual_opt'].items()})
+            dummy = jnp.zeros((1, 64, 64, 3))
+            self.vars_perceptual = self.replicate(
+                self.cri_perceptual.init(jax.random.PRNGKey(11), dummy,
+                                         dummy))
+        else:
+            logger.info('Remove perceptual loss.')
+
+        self.gan_type = train_opt.get('gan_type')
+        self.gan_weight = train_opt.get('gan_weight', 0) or 0
+        self.grad_penalty_weight = train_opt.get('grad_penalty_weight',
+                                                 0) or 0
+        if not self.gan_type:
+            logger.info('Remove GAN loss.')
+
+        self.net_g_pretrain_steps = train_opt['net_g_pretrain_steps']
+        self.net_d_steps = train_opt.get('net_d_steps') or 1
+        self.net_d_init_steps = train_opt.get('net_d_init_steps') or 0
+
+        # --- optimizers
+        lr_tree = _offset_lr_tree(self.vars_g['params'], train_opt)
+        self.tx_g = make_adam(
+            train_opt['lr_g'],
+            betas=tuple(train_opt.get('beta_g') or (0.9, 0.999)),
+            weight_decay=train_opt.get('weight_decay_g', 0) or 0,
+            schedule_fn=self.schedule_fn, lr_tree=lr_tree)
+        self.opt_state_g = self.replicate(
+            self.tx_g.init(self.vars_g['params']))
+
+        if self.net_d:
+            self.tx_d = make_adam(
+                train_opt['lr_d'],
+                betas=tuple(train_opt.get('beta_d') or (0.9, 0.999)),
+                weight_decay=train_opt.get('weight_decay_d', 0) or 0,
+                schedule_fn=self.schedule_fn)
+            self.opt_state_d = self.replicate(
+                self.tx_d.init(self.vars_d['params']))
+
+        self._g_pretrain_step = self._build_g_pretrain_step()
+        if self.net_d:
+            self._d_step = self._build_d_step()
+        self._g_step = self._build_g_step()
+        self._rng = jax.random.PRNGKey(
+            self.opt.get('manual_seed') or 0)
+        self.log_dict = {}
+
+    def base_lrs(self):
+        t = self.opt['train']
+        lrs = [t['lr_g'], t.get('lr_offset', t['lr_g']),
+               t.get('lr_relu3_offset', t['lr_g']),
+               t.get('lr_relu2_offset', t['lr_g'])]
+        if self.net_d:
+            lrs.append(t['lr_d'])
+        return lrs
+
+    # --------------------------------------------------------------- steps
+    def _g_losses(self, g_params, batch, pre_offset, ref_feat, d_vars,
+                  perceptual_vars, with_gan):
+        output = self.net_g.apply({'params': g_params}, batch['img_in_lq'],
+                                  pre_offset, ref_feat)
+        logs = {}
+        total = 0.
+        if self.cri_pix is not None:
+            l_g_pix = self.cri_pix(output, batch['img_in'])
+            total += l_g_pix
+            logs['l_g_pix'] = l_g_pix
+        if self.cri_perceptual is not None and perceptual_vars is not None:
+            l_g_percep, l_g_style = self.cri_perceptual.apply(
+                perceptual_vars, output, batch['img_in'])
+            if l_g_percep is not None:
+                total += l_g_percep
+                logs['l_g_percep'] = l_g_percep
+            if l_g_style is not None:
+                total += l_g_style
+                logs['l_g_style'] = l_g_style
+        if with_gan and d_vars is not None:
+            fake_pred = self.net_d.apply(d_vars, output, train=False)
+            l_g_gan = gan_loss(fake_pred, True, self.gan_type,
+                               loss_weight=self.gan_weight, is_disc=False)
+            total += l_g_gan
+            logs['l_g_gan'] = l_g_gan
+        return total, (logs, output)
+
+    def _build_g_pretrain_step(self):
+
+        def loss_fn(g_params, batch, pre_offset, ref_feat):
+            output = self.net_g.apply({'params': g_params},
+                                      batch['img_in_lq'], pre_offset,
+                                      ref_feat)
+            return self.cri_pix(output, batch['img_in']), output
+
+        @jax.jit
+        def step(g_params, opt_state, batch, pre_offset, ref_feat):
+            (l_pix, output), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(g_params, batch, pre_offset,
+                                       ref_feat)
+            updates, opt_state = self.tx_g.update(grads, opt_state,
+                                                  g_params)
+            g_params = optax.apply_updates(g_params, updates)
+            return g_params, opt_state, output, {'l_pix': l_pix}
+
+        return step
+
+    def _build_d_step(self):
+
+        @jax.jit
+        def step(d_vars, opt_state, gt, fake, rng):
+            d_params = d_vars['params']
+            other = {k: v for k, v in d_vars.items() if k != 'params'}
+
+            def loss_fn(d_params):
+                variables = dict(other, params=d_params)
+                real_pred, new_state = self.net_d.apply(
+                    variables, gt, train=True, mutable=['batch_stats'])
+                l_d_real = gan_loss(real_pred, True, self.gan_type,
+                                    is_disc=True)
+                fake_pred, new_state = self.net_d.apply(
+                    dict(new_state, params=d_params), fake, train=True,
+                    mutable=['batch_stats'])
+                l_d_fake = gan_loss(fake_pred, False, self.gan_type,
+                                    is_disc=True)
+                l_d_total = l_d_real + l_d_fake
+                logs = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
+                        'out_d_real': jnp.mean(real_pred),
+                        'out_d_fake': jnp.mean(fake_pred)}
+                if self.grad_penalty_weight > 0:
+                    def disc_fn(x):
+                        # train-mode BN (batch statistics), matching the
+                        # reference's D(interpolates) in train mode;
+                        # stat updates from this pass are discarded
+                        out, _ = self.net_d.apply(
+                            dict(other, params=d_params), x, train=True,
+                            mutable=['batch_stats'])
+                        return out
+                    l_gp = gradient_penalty_loss(
+                        disc_fn, gt, fake, rng,
+                        loss_weight=self.grad_penalty_weight)
+                    l_d_total += l_gp
+                    logs['l_grad_penalty'] = l_gp
+                return l_d_total, (logs, new_state['batch_stats'])
+
+            (l_d, (logs, batch_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(d_params)
+            updates, opt_state = self.tx_d.update(grads, opt_state,
+                                                  d_params)
+            d_params = optax.apply_updates(d_params, updates)
+            new_vars = dict(other, params=d_params,
+                            batch_stats=batch_stats)
+            return new_vars, opt_state, logs
+
+        return step
+
+    def _build_g_step(self):
+
+        @jax.jit
+        def step(g_params, opt_state, batch, pre_offset, ref_feat, d_vars,
+                 perceptual_vars):
+            (l_g, (logs, output)), grads = jax.value_and_grad(
+                self._g_losses, has_aux=True)(
+                    g_params, batch, pre_offset, ref_feat, d_vars,
+                    perceptual_vars, self.net_d is not None)
+            updates, opt_state = self.tx_g.update(grads, opt_state,
+                                                  g_params)
+            g_params = optax.apply_updates(g_params, updates)
+            return g_params, opt_state, output, logs
+
+        return step
+
+    # ----------------------------------------------------------------- API
+    def feed_data(self, batch):
+        self.batch = self.shard_batch({
+            'img_in_lq': batch['img_in_lq'],
+            'img_ref': batch['img_ref'],
+            'img_in': batch['img_in'],
+            'img_in_up': batch['img_in_up'],
+        })
+        self.meta = {k: batch[k] for k in ('padding', 'original_size',
+                                           'lq_path') if k in batch}
+
+    def optimize_parameters(self, step):
+        pre_offset, ref_feat = self._match(
+            self.vars_extractor, self.vars_map, self.batch['img_in_up'],
+            self.batch['img_ref'])
+
+        if step <= self.net_g_pretrain_steps:
+            params, self.opt_state_g, self.output, logs = \
+                self._g_pretrain_step(self.vars_g['params'],
+                                      self.opt_state_g, self.batch,
+                                      pre_offset, ref_feat)
+            self.vars_g = dict(self.vars_g, params=params)
+            self.log_dict = {k: float(v) for k, v in logs.items()}
+            return
+
+        logs_all = {}
+        if self.net_d:
+            output = self._forward(self.vars_g['params'],
+                                   self.batch['img_in_lq'], pre_offset,
+                                   ref_feat)
+            self._rng, sub = jax.random.split(self._rng)
+            self.vars_d, self.opt_state_d, d_logs = self._d_step(
+                self.vars_d, self.opt_state_d, self.batch['img_in'],
+                output, sub)
+            logs_all.update({k: float(v) for k, v in d_logs.items()})
+            self.output = output
+
+        do_g = ((step - self.net_g_pretrain_steps) % self.net_d_steps == 0
+                and (step - self.net_g_pretrain_steps)
+                > self.net_d_init_steps)
+        if do_g:
+            params, self.opt_state_g, self.output, g_logs = self._g_step(
+                self.vars_g['params'], self.opt_state_g, self.batch,
+                pre_offset, ref_feat,
+                self.vars_d if self.net_d else None,
+                self.vars_perceptual)
+            self.vars_g = dict(self.vars_g, params=params)
+            logs_all.update({k: float(v) for k, v in g_logs.items()})
+        self.log_dict = logs_all
+
+    def test(self):
+        pre_offset, ref_feat = self._match(
+            self.vars_extractor, self.vars_map, self.batch['img_in_up'],
+            self.batch['img_ref'])
+        self.output = self._forward(self.vars_g['params'],
+                                    self.batch['img_in_lq'], pre_offset,
+                                    ref_feat)
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img=False):
+        pbar = ProgressBar(len(dataloader))
+        avg_psnr = avg_psnr_y = avg_ssim_y = 0.
+        dataset_name = dataloader.dataset.opt['name']
+        count = 0
+        for val_data in dataloader:
+            img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
+            sr_img, gt_img = self._validation_images(val_data)
+            if save_img:
+                self._save_val_image(sr_img, img_name, dataset_name,
+                                     current_iter)
+            crop = self.opt['crop_border']
+            psnr = metrics.psnr(sr_img, gt_img, crop_border=crop)
+            sr_y = metrics.bgr2ycbcr(sr_img / 255., only_y=True)
+            gt_y = metrics.bgr2ycbcr(gt_img / 255., only_y=True)
+            psnr_y = metrics.psnr(sr_y * 255, gt_y * 255, crop_border=crop)
+            ssim_y = metrics.ssim(sr_y * 255, gt_y * 255, crop_border=crop)
+            avg_psnr += psnr
+            avg_psnr_y += psnr_y
+            avg_ssim_y += ssim_y
+            count += 1
+            if not self.is_train:
+                logger.info(f'# img {img_name} # PSNR: {psnr:.4e} '
+                            f'# PSNR_Y: {psnr_y:.4e} '
+                            f'# SSIM_Y: {ssim_y:.4e}.')
+            pbar.update(f'Test {img_name}')
+        avg_psnr /= max(count, 1)
+        avg_psnr_y /= max(count, 1)
+        avg_ssim_y /= max(count, 1)
+        logger.info(f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e} '
+                    f'# PSNR_Y: {avg_psnr_y:.4e} '
+                    f'# SSIM_Y: {avg_ssim_y:.4e}.')
+        if tb_logger:
+            tb_logger.add_scalar('psnr', avg_psnr, current_iter)
+            tb_logger.add_scalar('psnr_y', avg_psnr_y, current_iter)
+            tb_logger.add_scalar('ssim_y', avg_ssim_y, current_iter)
+
+    def _validation_images(self, val_data):
+        self.feed_data(val_data)
+        self.test()
+        sr_img = tensor2img(np.asarray(jax.device_get(self.output)))
+        gt_img = tensor2img(np.asarray(val_data['img_in']))
+        padding = val_data.get('padding')
+        if padding is not None:
+            pad = bool(np.asarray(padding).reshape(-1)[0])
+            if pad:
+                orig = val_data['original_size']
+                if isinstance(orig, list):
+                    orig = orig[0]
+                sr_img = sr_img[:int(orig[0]), :int(orig[1])]
+                gt_img = gt_img[:int(orig[0]), :int(orig[1])]
+        return sr_img, gt_img
+
+    def save(self, epoch, current_iter):
+        self.save_network(self.vars_g, 'net_g', current_iter)
+        if self.net_d:
+            self.save_network(self.vars_d, 'net_d', current_iter)
+        state = {'opt_g': self.opt_state_g}
+        if self.net_d:
+            state['opt_d'] = self.opt_state_d
+        self.save_training_state(epoch, current_iter, state)
+
+    def resume_training(self, state_path):
+        template = {'opt_g': self.opt_state_g}
+        if self.net_d:
+            template['opt_d'] = self.opt_state_d
+        epoch, it, state = self.load_training_state(state_path, template)
+        self.opt_state_g = self.replicate(state['opt_g'])
+        if self.net_d:
+            self.opt_state_d = self.replicate(state['opt_d'])
+        return epoch, it

