@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Throughput benchmark: images/sec/chip for x4 CUFED5-scale RefSR.
+
+Runs the full inference pipeline (contrastive extraction -> dense patch
+matching -> VGG19 ref features -> correspondence-seeded restoration) at a
+representative CUFED5 eval shape (HR 512x336 -> LR 128x84; CUFED5 images
+are ~500x332, padded to static buckets in eval), batch 1, on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measurement notes:
+- params are initialized at a small spatial size (conv params are
+  size-independent) because eager init at full size is slow through the
+  remote device tunnel;
+- each timed iteration fetches a scalar reduction of the output to the
+  host — on the tunneled platform block_until_ready alone does not force
+  execution;
+- inputs differ per iteration to defeat any result memoization.
+
+Baseline: the reference publishes no throughput (BASELINE.md). The driver
+target is >=5x a V100 running the reference; a V100-era C2-Matching
+inference measures ~0.7-0.8 img/s at CUFED5 size (chunked conv2d matching
++ DCNv2). vs_baseline is computed against 0.75 img/s — an estimate, noted
+here explicitly, not a repo-published number.
+"""
+import json
+import statistics
+import time
+
+V100_BASELINE_IPS = 0.75  # estimated reference V100 throughput (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from c2matching_tpu.models.archs import (ContrasExtractorSep,
+                                             CorrespondenceGenerationArch,
+                                             RestorationNet)
+
+    gt_h, gt_w = 512, 336   # CUFED5-scale, padded to x16 static bucket
+    lr_h, lr_w = gt_h // 4, gt_w // 4
+    batch = 1
+
+    rng = jax.random.PRNGKey(0)
+
+    def mk(k, shape):
+        return jax.random.uniform(jax.random.PRNGKey(k), shape)
+
+    ext = ContrasExtractorSep()
+    cg = CorrespondenceGenerationArch()
+    net = RestorationNet()
+
+    # init at small spatial size; conv param shapes are size-independent
+    s = 64
+    up_s, ref_s, lr_s = (jnp.zeros((1, s, s, 3)), jnp.zeros((1, s, s, 3)),
+                         jnp.zeros((1, s // 4, s // 4, 3)))
+    ext_params = jax.jit(ext.init)(rng, up_s, ref_s)
+    feats = jax.jit(ext.apply)(ext_params, up_s, ref_s)
+    cg_params = jax.jit(cg.init)(rng, feats, ref_s)
+    po_s, rf_s = jax.jit(cg.apply)(cg_params, feats, ref_s)
+    g_params = jax.jit(net.init)(rng, lr_s, po_s, rf_s)
+
+    match = jax.jit(lambda ep, cp, a, b: cg.apply(cp, ext.apply(ep, a, b),
+                                                  b))
+    restore = jax.jit(lambda gp, x, po, rf: net.apply(gp, x, po, rf))
+
+    def fetch(x):
+        return float(jnp.sum(x))
+
+    n_iters = 6
+    ups = [mk(100 + i, (batch, gt_h, gt_w, 3)) for i in range(n_iters + 1)]
+    refs = [mk(200 + i, (batch, gt_h, gt_w, 3)) for i in range(n_iters + 1)]
+    lrs = [mk(300 + i, (batch, lr_h, lr_w, 3)) for i in range(n_iters + 1)]
+    for t in (ups, refs, lrs):
+        for a in t:
+            fetch(a)
+
+    # warmup / compile
+    po, rf = match(ext_params, cg_params, ups[-1], refs[-1])
+    fetch(restore(g_params, lrs[-1], po, rf))
+
+    times = []
+    for i in range(n_iters):
+        t0 = time.time()
+        po, rf = match(ext_params, cg_params, ups[i], refs[i])
+        fetch(restore(g_params, lrs[i], po, rf))
+        times.append(time.time() - t0)
+
+    dt = statistics.median(times)
+    ips = batch / dt
+    print(json.dumps({
+        'metric': 'images/sec/chip at 4x CUFED5-scale RefSR (512x336 HR)',
+        'value': round(ips, 3),
+        'unit': 'images/sec',
+        'vs_baseline': round(ips / V100_BASELINE_IPS, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()
