@@ -1,0 +1,115 @@
+"""Blocked Pallas patch-match kernel: correlation matmul + online argmax.
+
+The flagship TPU kernel (SURVEY.md §5 long-context analog): the reference
+bounds the (h*w x h*w) correlation's memory by chunking ref patches in a
+Python loop with a running max/argmax merge (ref_map_util.py:56-76). Here
+the scores are never materialized in HBM at all: a (query-tile x ref-tile)
+grid runs the MXU matmul per tile pair and folds a FlashAttention-style
+online (max, argmax) reduction into the output block, which is revisited
+across the ref-tile grid axis.
+
+Tie-breaking parity: the running merge uses strict '>', so the earliest
+ref tile wins ties (the torch chunked merge, ref_map_util.py:74), and
+jnp.argmax picks the first maximum within a tile.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_TQ = 256
+DEFAULT_TR = 256
+
+
+def _match_kernel(nr_ref, q_ref, r_ref, val_ref, idx_ref):
+    """One (query-tile, ref-tile) step.
+
+    nr_ref: scalar-prefetch (1,) int32 — number of valid ref rows.
+    q_ref: (TQ, D) query descriptors.
+    r_ref: (TR, D) normalized ref descriptors (zero-padded past nr).
+    val_ref/idx_ref: (TQ, 1) running max / argmax, revisited over j.
+    """
+    j = pl.program_id(1)
+    tr = r_ref.shape[0]
+
+    corr = jax.lax.dot_general(
+        q_ref[:], r_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)          # (TQ, TR)
+
+    # mask out padded ref rows
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1) + j * tr
+    corr = jnp.where(col_ids < nr_ref[0], corr, -jnp.inf)
+
+    local_max = jnp.max(corr, axis=1, keepdims=True)              # (TQ, 1)
+    local_arg = (jnp.argmax(corr, axis=1
+                            ).astype(jnp.int32).reshape(-1, 1) + j * tr)
+
+    @pl.when(j == 0)
+    def _():
+        val_ref[:] = local_max
+        idx_ref[:] = local_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = local_max > val_ref[:]
+        val_ref[:] = jnp.where(better, local_max, val_ref[:])
+        idx_ref[:] = jnp.where(better, local_arg, idx_ref[:])
+
+
+def _pad_rows(x, multiple):
+    n = x.shape[0]
+    pad = (-n) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('tile_q', 'tile_r', 'interpret'))
+def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
+                 interpret=False):
+    """argmax over ref rows of q @ r.T without materializing the scores.
+
+    Args:
+        q: (Nq, D) float32 query descriptors.
+        r: (Nr, D) float32 ref descriptors (normalized by caller).
+    Returns:
+        (max_idx int32 (Nq,), max_val float32 (Nq,)).
+    """
+    nq, d = q.shape
+    nr = r.shape[0]
+    qp = _pad_rows(q, tile_q)
+    rp = _pad_rows(r, tile_r)
+    grid = (qp.shape[0] // tile_q, rp.shape[0] // tile_r)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_q, d), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((tile_r, d), lambda i, j, *_: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_q, 1), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((tile_q, 1), lambda i, j, *_: (i, 0)),
+        ],
+    )
+
+    val, idx = pl.pallas_call(
+        _match_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((qp.shape[0], 1), jnp.float32),
+            jax.ShapeDtypeStruct((qp.shape[0], 1), jnp.int32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp.shape[0] * rp.shape[0] * d,
+            bytes_accessed=(qp.shape[0] * d + grid[0] * rp.shape[0] * d) * 4,
+            transcendentals=0),
+    )(jnp.asarray([nr], jnp.int32), qp, rp)
+
+    return idx[:nq, 0], val[:nq, 0]

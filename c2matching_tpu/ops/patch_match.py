@@ -53,14 +53,22 @@ def unfold_descriptors(feat, patch_size=3):
     return stacked.reshape(h - p + 1, w - p + 1, p * p * c)
 
 
-@functools.partial(jax.jit, static_argnames=('patch_size',))
-def patch_match(feat_in, feat_ref, patch_size=3):
+# above this many query rows, use the blocked Pallas kernel (avoids
+# materializing the (n_q x n_r) score matrix in HBM)
+_PALLAS_MIN_ROWS = 4096
+
+
+@functools.partial(jax.jit, static_argnames=('patch_size', 'use_pallas'))
+def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto'):
     """Dense patch matching for a single image pair.
 
     Args:
         feat_in: (H, W, C) input features (bicubic-upsampled LR branch).
         feat_ref: (H, W, C) reference features.
         patch_size: patch side length (default 3).
+        use_pallas: True | False | 'auto' — blocked Pallas kernel with
+            online argmax vs one XLA matmul + argmax. 'auto' picks Pallas
+            for large images on TPU.
 
     Returns:
         (max_idx, max_val): both (H-p+1, W-p+1). ``max_idx`` is the flat
@@ -79,10 +87,17 @@ def patch_match(feat_in, feat_ref, patch_size=3):
     r_norm = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True)) + 1e-5
     r = r / r_norm
 
-    # One large MXU matmul: (n_q, D) @ (D, n_r).
-    corr = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
-    max_idx = jnp.argmax(corr, axis=-1)
-    max_val = jnp.max(corr, axis=-1)
+    if use_pallas == 'auto':
+        use_pallas = (hh * ww >= _PALLAS_MIN_ROWS
+                      and jax.default_backend() != 'cpu')
+    if use_pallas:
+        from .pallas import match_argmax
+        max_idx, max_val = match_argmax(q, r)
+    else:
+        # One large MXU matmul: (n_q, D) @ (D, n_r).
+        corr = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+        max_idx = jnp.argmax(corr, axis=-1)
+        max_val = jnp.max(corr, axis=-1)
 
     q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1)) + 1e-5
     max_val = max_val / q_norm
