@@ -334,13 +334,36 @@ class RefRestorationModel(SRModel):
         return step
 
     # ----------------------------------------------------------------- API
+    _EVAL_BUCKET = 16  # LR-space bucket multiple (64 px in HR space)
+
     def feed_data(self, batch):
-        self.batch = self.shard_batch({
+        arrays = {
             'img_in_lq': batch['img_in_lq'],
             'img_ref': batch['img_ref'],
             'img_in': batch['img_in'],
             'img_in_up': batch['img_in_up'],
-        })
+        }
+        self._eval_crop = None
+        if not self.is_train:
+            # bucket-pad eval shapes so XLA compiles once per bucket, not
+            # once per image (static-shape discipline, SURVEY.md §7);
+            # output is cropped back in _validation_images
+            lq = arrays['img_in_lq']
+            b_lr = self._EVAL_BUCKET
+            h, w = lq.shape[1:3]
+            ph = (-h) % b_lr
+            pw = (-w) % b_lr
+            if ph or pw:
+                def pad_to(x, mult):
+                    hh, ww = x.shape[1:3]
+                    return np.pad(x, ((0, 0), (0, (-hh) % mult),
+                                      (0, (-ww) % mult), (0, 0)))
+
+                arrays['img_in_lq'] = pad_to(lq, b_lr)
+                arrays['img_ref'] = pad_to(arrays['img_ref'], 4 * b_lr)
+                arrays['img_in_up'] = pad_to(arrays['img_in_up'], 4 * b_lr)
+                self._eval_crop = (4 * h, 4 * w)
+        self.batch = self.shard_batch(arrays)
         self.meta = {k: batch[k] for k in ('padding', 'original_size',
                                            'lq_path') if k in batch}
 
@@ -432,7 +455,10 @@ class RefRestorationModel(SRModel):
     def _validation_images(self, val_data):
         self.feed_data(val_data)
         self.test()
-        sr_img = tensor2img(np.asarray(jax.device_get(self.output)))
+        output = np.asarray(jax.device_get(self.output))
+        if self._eval_crop is not None:
+            output = output[:, :self._eval_crop[0], :self._eval_crop[1]]
+        sr_img = tensor2img(output)
         gt_img = tensor2img(np.asarray(val_data['img_in']))
         padding = val_data.get('padding')
         if padding is not None:

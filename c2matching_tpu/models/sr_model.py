@@ -96,6 +96,26 @@ class SRModel(BaseModel):
         self.output = self.net_g.apply(
             {'params': self.vars_g['params']}, self.batch['img_in_lq'])
 
+    def test_x8(self):
+        """x8 self-ensemble: average the outputs over the 8 dihedral
+        transforms of the input (sr_model.py:123-158)."""
+        lq = self.batch['img_in_lq']
+
+        def fwd(x):
+            return self.net_g.apply({'params': self.vars_g['params']}, x)
+
+        outs = []
+        for rot in range(4):
+            xr = jnp.rot90(lq, k=rot, axes=(1, 2))
+            for flip in (False, True):
+                xf = jnp.flip(xr, axis=2) if flip else xr
+                y = fwd(xf)
+                if flip:
+                    y = jnp.flip(y, axis=2)
+                y = jnp.rot90(y, k=-rot, axes=(1, 2))
+                outs.append(y)
+        self.output = sum(outs) / len(outs)
+
     # -------- shared validation loop (sr_model.py:164-208 pattern,
     # extended with PSNR_Y/SSIM_Y by RefRestorationModel :295-370)
     def _validation_images(self, val_data):

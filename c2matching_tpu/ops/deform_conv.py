@@ -2,12 +2,30 @@
 
 Replaces the reference's CUDA extension (mmsr/models/archs/DCNv2/src/cuda/
 dcn_v2_cuda.cu:42-172 forward, dcn_v2_im2col_cuda.cu:125-195 gather kernel)
-with a pure-XLA formulation: bilinear gather at learned offsets x sigmoid
+with pure-XLA formulations: bilinear gather at learned offsets x sigmoid
 mask, then MXU contractions with the conv weight. Being pure jnp, JAX
 autodiff yields exactly the reference's analytic gradients (bilinear
 coordinate weights for d/d-offset — dcn_v2_im2col_cuda.cu:82-123 — and
-scatter-add for d/d-input — :197-254) with no custom VJP needed, and the op
-is arbitrarily differentiable.
+scatter-add for d/d-input — :197-254) with no custom VJP needed, and the
+op is arbitrarily differentiable.
+
+Two implementations, same semantics:
+
+- ``modulated_deform_conv`` (production): corner-packed group-scan. TPU
+  gathers are row-count-bound with a fast path for small operands, so
+  (1) the 4 bilinear corners are pre-concatenated into single rows of a
+  zero-ring-padded operand (4x fewer gathers), (2) the scan runs over
+  deformable groups so each step's gather operand stays small, and
+  (3) every intermediate keeps a large trailing dim (tiny minor dims
+  tile-pad up to 32x on TPU and dominated early versions): corner weights
+  are expanded to per-column factors with constant 0/1 expansion matmuls
+  and the corner-sum is folded into a row-replicated weight matmul.
+  Measured at CUFED5-scale relu1 (512x336x64, G=8): 123 ms vs 360 ms for
+  the naive formulation on one v5e chip.
+
+- ``modulated_deform_conv_reference``: straightforward per-tap gather
+  formulation; the oracle-tested ground truth (kept for tests and
+  readability).
 
 Layout (TPU-first, deliberately different from the reference's NCHW):
     x:      (B, H, W, C)          NHWC
@@ -17,17 +35,14 @@ Layout (TPU-first, deliberately different from the reference's NCHW):
     weight: (K, C, Cout)          K = kh*kw taps, row-major (ky, kx)
     bias:   (Cout,)
 
-TPU shape discipline: all large intermediates keep either the pixel count
-P = Ho*Wo or the channel count C in the trailing (lane) dimension —
-(P, G, K)-trailing layouts tile-pad 14x on TPU and OOM HBM. The K taps are
-processed with a lax.scan accumulating (P, Cout), so peak temp memory is
-one (G, P, Cg) gather per corner.
-
 Sampling semantics pinned to the CUDA kernel
 (dcn_v2_im2col_cuda.cu:166-189): sample point
     y = ho*stride - pad + ky*dilation + offset_y
 is bilinearly interpolated with zero padding; the whole tap is zero unless
 y > -1 and y < H (same for x); corners outside the image contribute zero.
+Only the 3x3/stride-1/pad-1/dilation-1 configuration used by the model
+family takes the fast path; other configs fall back to the reference
+implementation.
 """
 import functools
 
@@ -35,15 +50,14 @@ import jax
 import jax.numpy as jnp
 
 
+# --------------------------------------------------------------------------
+# reference implementation (oracle)
+# --------------------------------------------------------------------------
 def _bilinear_gather_tap(xf, sy, sx, h, w):
     """Bilinear sample for one kernel tap.
 
-    Args:
-        xf: (G, H*W, Cg) per-group flattened feature.
-        sy, sx: (G, P) float sample coords.
-    Returns:
-        (G, P, Cg) samples with zero padding semantics.
-    """
+    xf: (G, H*W, Cg); sy, sx: (G, P). Returns (G, P, Cg), zero-padded
+    semantics."""
     valid = (sy > -1.0) & (sy < h) & (sx > -1.0) & (sx < w)
 
     y0 = jnp.floor(sy)
@@ -59,9 +73,8 @@ def _bilinear_gather_tap(xf, sy, sx, h, w):
         wy = jnp.where(dy == 0, 1.0 - fy, fy)
         wx = jnp.where(dx == 0, 1.0 - fx, fx)
         inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        weight = wy * wx * inb.astype(xf.dtype)          # (G, P)
+        weight = wy * wx * inb.astype(xf.dtype)
         flat = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-        # per-group row gather: (G, H*W, Cg)[g, flat[g, p]] -> (G, P, Cg)
         gathered = jnp.take_along_axis(xf, flat[:, :, None], axis=1)
         return gathered * weight[:, :, None]
 
@@ -69,48 +82,142 @@ def _bilinear_gather_tap(xf, sy, sx, h, w):
     return out * valid[:, :, None].astype(xf.dtype)
 
 
-def _mdc_single(x, offset, mask, weight, kernel_size, stride, padding,
-                dilation):
-    """Single-image modulated deformable conv (see module docstring,
-    shapes without the leading batch dim)."""
+def _base_grid(ho, wo, kh, kw, stride, padding, dilation):
+    """Base sampling coords: (P,) per-pixel and (K,) per-tap offsets."""
+    oy = jnp.arange(ho, dtype=jnp.float32) * stride[0] - padding[0]
+    ox = jnp.arange(wo, dtype=jnp.float32) * stride[1] - padding[1]
+    ky = (jnp.arange(kh, dtype=jnp.float32)[:, None]
+          * dilation[0]).repeat(kw, 1).reshape(-1)
+    kx = (jnp.arange(kw, dtype=jnp.float32)[None, :]
+          * dilation[1]).repeat(kh, 0).reshape(-1)
+    base_y = (oy[:, None] + jnp.zeros((ho, wo), jnp.float32)).reshape(-1)
+    base_x = (ox[None, :] + jnp.zeros((ho, wo), jnp.float32)).reshape(-1)
+    return base_y, base_x, ky, kx
+
+
+def _mdc_reference_single(x, offset, mask, weight, kernel_size, stride,
+                          padding, dilation):
     h, w, c = x.shape
     ho, wo, g, k, _ = offset.shape
     kh, kw = kernel_size
     cg = c // g
     p = ho * wo
-    cout = weight.shape[-1]
 
-    # Base sampling grid per tap: (K, P).
-    oy = jnp.arange(ho, dtype=x.dtype) * stride[0] - padding[0]
-    ox = jnp.arange(wo, dtype=x.dtype) * stride[1] - padding[1]
-    base = (oy[:, None] + jnp.zeros((ho, wo), x.dtype),
-            ox[None, :] + jnp.zeros((ho, wo), x.dtype))
-    ky = (jnp.arange(kh, dtype=x.dtype)[:, None] *
-          dilation[0]).repeat(kw, 1).reshape(-1)          # (K,)
-    kx = (jnp.arange(kw, dtype=x.dtype)[None, :] *
-          dilation[1]).repeat(kh, 0).reshape(-1)          # (K,)
-
-    # offsets to (K, G, P) — large P stays in the lane dim.
+    base_y, base_x, ky, kx = _base_grid(ho, wo, kh, kw, stride, padding,
+                                        dilation)
     off_y = offset[..., 0].reshape(p, g, k).transpose(2, 1, 0)
     off_x = offset[..., 1].reshape(p, g, k).transpose(2, 1, 0)
-    sy = base[0].reshape(p)[None, None, :] + ky[:, None, None] + off_y
-    sx = base[1].reshape(p)[None, None, :] + kx[:, None, None] + off_x
+    sy = base_y[None, None, :] + ky[:, None, None] + off_y
+    sx = base_x[None, None, :] + kx[:, None, None] + off_x
     mask_kgp = mask.reshape(p, g, k).transpose(2, 1, 0)
 
-    xf = x.reshape(h * w, g, cg).transpose(1, 0, 2)       # (G, H*W, Cg)
+    xf = x.reshape(h * w, g, cg).transpose(1, 0, 2)
 
     def tap_body(acc, tap):
-        sy_k, sx_k, m_k, w_k = tap      # (G,P) (G,P) (G,P) (C,Cout)
-        vals = _bilinear_gather_tap(xf, sy_k, sx_k, h, w)  # (G, P, Cg)
+        sy_k, sx_k, m_k, w_k = tap
+        vals = _bilinear_gather_tap(xf, sy_k, sx_k, h, w)
         vals = vals * m_k[:, :, None]
         cols = vals.transpose(1, 0, 2).reshape(p, c)
         acc = acc + jnp.dot(cols, w_k,
                             preferred_element_type=jnp.float32)
         return acc, None
 
-    acc0 = jnp.zeros((p, cout), jnp.float32)
+    acc0 = jnp.zeros((p, weight.shape[-1]), jnp.float32)
     out, _ = jax.lax.scan(tap_body, acc0, (sy, sx, mask_kgp, weight))
-    return out.reshape(ho, wo, cout)
+    return out.reshape(ho, wo, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('kernel_size', 'stride', 'padding', 'dilation'))
+def modulated_deform_conv_reference(x, offset, mask, weight, bias=None,
+                                    kernel_size=(3, 3), stride=(1, 1),
+                                    padding=(1, 1), dilation=(1, 1)):
+    """Oracle-tested straightforward formulation (see module docstring)."""
+    fn = functools.partial(
+        _mdc_reference_single, kernel_size=kernel_size, stride=stride,
+        padding=padding, dilation=dilation)
+    out = jax.vmap(fn, in_axes=(0, 0, 0, None))(x, offset, mask, weight)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+# --------------------------------------------------------------------------
+# production implementation: corner-packed group-scan
+# --------------------------------------------------------------------------
+def _mdc_fast_single(x, offset, mask, weight):
+    """3x3/stride-1/pad-1 fast path; see module docstring for the design."""
+    h, w, c = x.shape
+    ho, wo, g, k, _ = offset.shape
+    cg = c // g
+    p = ho * wo
+    co = weight.shape[-1]
+
+    # corner packing: packed[g, y*(W+1)+x] = [c00|c01|c10|c11] of group g
+    # at (y-1, x-1) in original coords, zero ring at the border
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    c00 = xp[:-1, :-1]
+    c01 = xp[:-1, 1:]
+    c10 = xp[1:, :-1]
+    c11 = xp[1:, 1:]
+    packed = jnp.concatenate([
+        c00.reshape(h + 1, w + 1, g, cg), c01.reshape(h + 1, w + 1, g, cg),
+        c10.reshape(h + 1, w + 1, g, cg), c11.reshape(h + 1, w + 1, g, cg),
+    ], axis=-1)
+    packed = packed.transpose(2, 0, 1, 3).reshape(g, (h + 1) * (w + 1),
+                                                  4 * cg)
+
+    base_y, base_x, ky, kx = _base_grid(ho, wo, 3, 3, (1, 1), (1, 1),
+                                        (1, 1))
+    off_y = offset[..., 0].reshape(p, g, k).transpose(1, 2, 0)  # (G,K,P)
+    off_x = offset[..., 1].reshape(p, g, k).transpose(1, 2, 0)
+    sy = base_y[None, None, :] + ky[None, :, None] + off_y
+    sx = base_x[None, None, :] + kx[None, :, None] + off_x
+    m = mask.reshape(p, g, k).transpose(1, 2, 0)
+
+    # hoisted index / corner-weight computation (keeps scan steps pure)
+    valid = (sy > -1.) & (sy < h) & (sx > -1.) & (sx < w)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = sy - y0
+    fx = sx - x0
+    ys = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
+    xs = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
+    flat = (ys * (w + 1) + xs).transpose(0, 2, 1)     # (G, P, K)
+    flat = flat.reshape(g, p * k)
+
+    mm = m * valid.astype(jnp.float32)
+    ws = jnp.stack([(1 - fy) * (1 - fx) * mm, (1 - fy) * fx * mm,
+                    fy * (1 - fx) * mm, fy * fx * mm],
+                   axis=0)                            # (4, G, K, P)
+    ws = ws.transpose(1, 3, 2, 0).reshape(g, p, k * 4)  # [k][corner]
+
+    # factor expansion: (K*4, K*4*Cg) constant 0/1, E[i, i*Cg+j] = 1
+    eye = jnp.eye(k * 4, dtype=jnp.float32)
+    expand = jnp.broadcast_to(eye[:, :, None],
+                              (k * 4, k * 4, cg)).reshape(k * 4,
+                                                          k * 4 * cg)
+
+    # per-group weight with rows replicated per corner:
+    # w4[g, (k*4+corner)*Cg + j] = weight[k, g*Cg + j]
+    w4 = weight.reshape(k, g, cg, co).transpose(1, 0, 2, 3)
+    w4 = jnp.broadcast_to(w4[:, :, None, :, :], (g, k, 4, cg, co))
+    w4 = w4.reshape(g, k * 4 * cg, co)
+
+    def group_step(acc, args):
+        packed_g, flat_g, ws_g, w4_g = args
+        rows = jnp.take(packed_g, flat_g, axis=0)     # (P*K, 4Cg)
+        rows = rows.reshape(p, k * 4 * cg)            # [k][corner][cg]
+        factor = jnp.dot(ws_g, expand,
+                         preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(rows * factor, w4_g,
+                            preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((p, co), jnp.float32)
+    out, _ = jax.lax.scan(group_step, acc0, (packed, flat, ws, w4))
+    return out.reshape(ho, wo, co)
 
 
 @functools.partial(
@@ -131,10 +238,13 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None,
     Returns:
         (B, Ho, Wo, Cout) float32.
     """
-    fn = functools.partial(
-        _mdc_single, kernel_size=kernel_size, stride=stride, padding=padding,
-        dilation=dilation)
-    out = jax.vmap(fn, in_axes=(0, 0, 0, None))(x, offset, mask, weight)
+    if (kernel_size, stride, padding, dilation) != ((3, 3), (1, 1), (1, 1),
+                                                    (1, 1)):
+        return modulated_deform_conv_reference(
+            x, offset, mask, weight, bias, kernel_size, stride, padding,
+            dilation)
+    out = jax.vmap(_mdc_fast_single, in_axes=(0, 0, 0, None))(
+        x, offset, mask, weight)
     if bias is not None:
         out = out + bias
     return out

@@ -105,6 +105,24 @@ def batched_pre_offsets(max_idx, patch_size=3):
                           patch_size=patch_size))(max_idx)
 
 
+def resize_flow(flow, size_type, sizes, method='bilinear'):
+    """Resize a flow field by ratio or to a shape, rescaling its values
+    (arch_util.resize_flow :223-267). flow: (B, H, W, 2) (x, y) order."""
+    b, flow_h, flow_w, _ = flow.shape
+    if size_type == 'ratio':
+        output_h = int(flow_h * sizes[0])
+        output_w = int(flow_w * sizes[1])
+    elif size_type == 'shape':
+        output_h, output_w = sizes
+    else:
+        raise ValueError(
+            f'Size type should be ratio or shape, but got {size_type}.')
+    ratio_h = output_h / flow_h
+    ratio_w = output_w / flow_w
+    scaled = flow * jnp.asarray([ratio_w, ratio_h], flow.dtype)
+    return jax.image.resize(scaled, (b, output_h, output_w, 2), method)
+
+
 def flow_warp(x, flow):
     """Bilinear warp of x:(B, H, W, C) by flow:(B, H, W, 2) ((x, y) order),
     zero padding. Mirrors arch_util.flow_warp's grid_sample semantics

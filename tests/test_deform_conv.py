@@ -5,6 +5,7 @@ import jax
 import jax.numpy as jnp
 
 from c2matching_tpu.ops import modulated_deform_conv
+from c2matching_tpu.ops.deform_conv import modulated_deform_conv_reference
 
 
 def _np_bilinear(img, y, x):
@@ -137,3 +138,19 @@ def test_mdc_is_twice_differentiable():
     g = jax.grad(f, argnums=0)
     hvp = jax.grad(lambda *a: jnp.vdot(g(*a), a[0]), argnums=0)(*args)
     assert np.all(np.isfinite(np.asarray(hvp)))
+
+
+def test_fast_path_matches_reference():
+    """The corner-packed group-scan implementation must match the
+    oracle-tested reference formulation."""
+    rng = np.random.RandomState(7)
+    x, offset, mask, weight, bias = _random_case(rng, h=9, w=7, c=8, g=4,
+                                                 cout=6)
+    a = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias))
+    b = modulated_deform_conv_reference(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
