@@ -107,6 +107,61 @@ def pixel_shuffle(x, factor=2):
     return x.reshape(b, h * r, w * r, c)
 
 
+class ResidualBlockWithBN(nn.Module):
+    """Conv-BN-ReLU-Conv-BN residual block (arch_util.py:162-188)."""
+    nf: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        identity = x
+        bn_kwargs = dict(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype)
+        out = nn.Conv(self.nf, (3, 3), padding=1,
+                      kernel_init=kaiming_scaled_init(1.0),
+                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                      name='conv1')(x)
+        out = nn.BatchNorm(name='bn1', **bn_kwargs)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.nf, (3, 3), padding=1,
+                      kernel_init=kaiming_scaled_init(1.0),
+                      bias_init=nn.initializers.zeros, dtype=self.dtype,
+                      name='conv2')(out)
+        out = nn.BatchNorm(name='bn2', **bn_kwargs)(out)
+        return identity + out
+
+
+class Upsample(nn.Module):
+    """PixelShuffle upsampler for scales 2^n and 3
+    (arch_util.Upsample :139-159)."""
+    scale: int
+    nf: int
+    kernel_init: Callable = srntt_normal_init()
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        import math as _math
+        scale = self.scale
+        if (scale & (scale - 1)) == 0:  # 2^n
+            for i in range(int(_math.log2(scale))):
+                x = nn.Conv(4 * self.nf, (3, 3), padding=1,
+                            kernel_init=self.kernel_init,
+                            bias_init=nn.initializers.zeros,
+                            dtype=self.dtype, name=f'conv{i}')(x)
+                x = pixel_shuffle(x, 2)
+        elif scale == 3:
+            x = nn.Conv(9 * self.nf, (3, 3), padding=1,
+                        kernel_init=self.kernel_init,
+                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                        name='conv0')(x)
+            x = pixel_shuffle(x, 3)
+        else:
+            raise ValueError(f'scale {scale} is not supported. '
+                             'Supported scales: 2^n and 3.')
+        return x
+
+
 class UpsampleShuffle(nn.Module):
     """conv(nf -> 4nf) + PixelShuffle(2) + LeakyReLU tail stage
     (the tail_small/tail_medium pattern, ref_restoration_arch.py:93-95)."""

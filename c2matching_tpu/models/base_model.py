@@ -175,7 +175,9 @@ class BaseModel:
     def save_training_state(self, epoch, current_iter, state_tree):
         """<iter>.state with {epoch, iter, optimizer/scheduler state}
         (base_model.py:267-290)."""
-        if self.rank != 0:
+        if self.rank != 0 or current_iter == -1:
+            # the reference writes no state file for the 'latest' save
+            # (base_model.py:271-273)
             return
         state_dir = self.opt['path']['training_state']
         os.makedirs(state_dir, exist_ok=True)

@@ -90,6 +90,23 @@ class CharbonnierLoss(_PixelLoss):
         super().__init__(loss_weight, reduction, eps=eps)
 
 
+@LOSS_REGISTRY.register
+class MaskedTVLoss(L1Loss):
+    """Masked total-variation loss (losses.py:125-138)."""
+
+    def __init__(self, loss_weight=1.0):
+        super().__init__(loss_weight=loss_weight)
+
+    def __call__(self, pred, mask=None):
+        y_diff = super().__call__(pred[:, :-1, :, :], pred[:, 1:, :, :],
+                                  weight=None if mask is None
+                                  else mask[:, :-1, :, :])
+        x_diff = super().__call__(pred[:, :, :-1, :], pred[:, :, 1:, :],
+                                  weight=None if mask is None
+                                  else mask[:, :, :-1, :])
+        return x_diff + y_diff
+
+
 def gan_loss(pred, target_is_real, gan_type='wgan', real_label_val=1.0,
              fake_label_val=0.0, loss_weight=1.0, is_disc=False):
     """GAN loss (losses.py:275-363). loss_weight only scales the
@@ -232,6 +249,24 @@ class PerceptualLoss(nn.Module):
             style_loss = style_loss * self.style_weight
 
         return percep_loss, style_loss
+
+
+@LOSS_REGISTRY.register
+class PerceptualLossMultiInputs(PerceptualLoss):
+    """Perceptual loss over (B, N, H, W, C) stacks of images, summed over
+    N (losses.py:241-272)."""
+
+    @nn.compact
+    def __call__(self, x, gt):
+        assert x.shape == gt.shape, (
+            'The sizes of input and GT should be the same.')
+        total_percep, total_style = 0., 0.
+        for i in range(x.shape[1]):
+            percep, style = super().__call__(x[:, i], gt[:, i])
+            total_percep = (None if percep is None
+                            else total_percep + percep)
+            total_style = None if style is None else total_style + style
+        return total_percep, total_style
 
 
 @LOSS_REGISTRY.register
