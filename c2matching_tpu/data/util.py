@@ -219,3 +219,45 @@ def imresize_np(img, scale, antialiasing=True):
     if squeeze:
         out2 = out2[:, :, 0]
     return out2.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# BT.601 colorspace converters (mmsr/data/util.py:250-322)
+# ---------------------------------------------------------------------------
+def rgb2ycbcr(img, only_y=True):
+    """RGB HWC -> YCbCr, MATLAB rgb2ycbcr semantics. uint8 [0,255] or
+    float [0,1] in; same type out."""
+    in_img_type = img.dtype
+    img = img.astype(np.float64)
+    if in_img_type != np.uint8:
+        img = img * 255.
+    if only_y:
+        rlt = np.dot(img, [65.481, 128.553, 24.966]) / 255.0 + 16.0
+    else:
+        rlt = np.matmul(
+            img, [[65.481, -37.797, 112.0], [128.553, -74.203, -93.786],
+                  [24.966, 112.0, -18.214]]) / 255.0 + [16, 128, 128]
+    if in_img_type == np.uint8:
+        rlt = rlt.round()
+    else:
+        rlt = rlt / 255.
+    return rlt.astype(in_img_type)
+
+
+def ycbcr2rgb(img):
+    """YCbCr HWC -> RGB, inverse of rgb2ycbcr. uint8 [0,255] or float
+    [0,1] in; same type out."""
+    in_img_type = img.dtype
+    img = img.astype(np.float64)
+    if in_img_type != np.uint8:
+        img = img * 255.
+    rlt = np.matmul(
+        img, [[0.00456621, 0.00456621, 0.00456621],
+              [0, -0.00153632, 0.00791071],
+              [0.00625893, -0.00318811, 0]]) * 255.0 \
+        + [-222.921, 135.576, -276.836]
+    if in_img_type == np.uint8:
+        rlt = rlt.round()
+    else:
+        rlt = rlt / 255.
+    return rlt.astype(in_img_type)

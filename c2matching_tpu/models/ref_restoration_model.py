@@ -378,7 +378,7 @@ class RefRestorationModel(SRModel):
                                       self.opt_state_g, self.batch,
                                       pre_offset, ref_feat)
             self.vars_g = dict(self.vars_g, params=params)
-            self.log_dict = {k: float(v) for k, v in logs.items()}
+            self.log_dict = logs
             return
 
         logs_all = {}
@@ -390,7 +390,7 @@ class RefRestorationModel(SRModel):
             self.vars_d, self.opt_state_d, d_logs = self._d_step(
                 self.vars_d, self.opt_state_d, self.batch['img_in'],
                 output, sub)
-            logs_all.update({k: float(v) for k, v in d_logs.items()})
+            logs_all.update(d_logs)
             self.output = output
 
         do_g = ((step - self.net_g_pretrain_steps) % self.net_d_steps == 0
@@ -403,7 +403,7 @@ class RefRestorationModel(SRModel):
                 self.vars_d if self.net_d else None,
                 self.vars_perceptual)
             self.vars_g = dict(self.vars_g, params=params)
-            logs_all.update({k: float(v) for k, v in g_logs.items()})
+            logs_all.update(g_logs)
         self.log_dict = logs_all
 
     def test(self):

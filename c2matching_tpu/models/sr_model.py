@@ -90,7 +90,8 @@ class SRModel(BaseModel):
         params, self.opt_state, logs = self._train_step(
             self.vars_g['params'], self.opt_state, self.batch)
         self.vars_g = dict(self.vars_g, params=params)
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        # keep device arrays; MessageLogger converts at print time
+        self.log_dict = logs
 
     def test(self):
         self.output = self.net_g.apply(

@@ -126,7 +126,8 @@ class StudentContrasDistillationModel(BaseModel):
             self.vars_student['params'], self.vars_teacher['params'],
             self.opt_state, self.batch)
         self.vars_student = dict(self.vars_student, params=params)
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        # keep device arrays; MessageLogger converts at print time
+        self.log_dict = logs
 
     def test(self):
         self._last_eval = self._eval_loss(self.vars_student['params'],

@@ -109,7 +109,8 @@ class TeacherContrasModel(BaseModel):
         params, self.opt_state, logs = self._train_step(
             self.vars_g['params'], self.opt_state, self.batch)
         self.vars_g = dict(self.vars_g, params=params)
-        self.log_dict = {k: float(v) for k, v in logs.items()}
+        # keep device arrays; MessageLogger converts at print time
+        self.log_dict = logs
 
     def test(self):
         self._last_eval = self._eval_loss(self.vars_g['params'], self.batch)

@@ -1,4 +1,7 @@
-from .deform_conv import modulated_deform_conv, torch_weight_to_kco
+from .deform_conv import (deform_conv, deform_psroi_pooling,
+                          modulated_deform_conv,
+                          modulated_deform_conv_reference,
+                          torch_weight_to_kco)
 from .flow import (batched_pre_offsets, flow_warp, index_to_flow,
                    match_to_pre_offsets, shifted_offsets, tensor_shift,
                    upsample_flow)
@@ -7,7 +10,9 @@ from .patch_match import (batched_patch_match, normalize_per_pixel,
 from .resize import nearest_up, pixel_shuffle, pixel_unshuffle, upscale
 
 __all__ = [
-    'modulated_deform_conv', 'torch_weight_to_kco', 'batched_pre_offsets',
+    'deform_conv', 'deform_psroi_pooling',
+    'modulated_deform_conv', 'modulated_deform_conv_reference',
+    'torch_weight_to_kco', 'batched_pre_offsets',
     'flow_warp', 'index_to_flow', 'match_to_pre_offsets', 'shifted_offsets',
     'tensor_shift', 'upsample_flow', 'batched_patch_match',
     'normalize_per_pixel', 'patch_match', 'unfold_descriptors', 'nearest_up',

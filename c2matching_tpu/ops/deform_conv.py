@@ -250,6 +250,95 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=('kernel_size', 'stride', 'padding', 'dilation'))
+def deform_conv(x, offset, weight, bias=None, kernel_size=(3, 3),
+                stride=(1, 1), padding=(1, 1), dilation=(1, 1)):
+    """Unmodulated deformable convolution (DCNv1) — the vestigial
+    mmdet-style extension's forward (mmsr/models/archs/dcn/
+    deform_conv_cuda.cpp:151): DCNv2 with mask == 1."""
+    mask = jnp.ones(offset.shape[:-1], x.dtype)
+    return modulated_deform_conv(x, offset, mask, weight, bias, kernel_size,
+                                 stride, padding, dilation)
+
+
+def deform_psroi_pooling(x, rois, offsets, output_dim, group_size,
+                         pooled_size, spatial_scale=1.0, trans_std=0.1,
+                         no_trans=False):
+    """Deformable position-sensitive ROI pooling
+    (DCNv2/src/cuda/dcn_v2_psroi_pooling_cuda.cu:59-149; Python wrappers
+    dcn_v2.py:256-411). Unused by any C2-Matching workload (detection
+    legacy) — provided for extension-API parity.
+
+    Args:
+        x: (H, W, C) feature, C = output_dim * group_size^2
+           (position-sensitive score maps).
+        rois: (N, 5) [batch_idx, x1, y1, x2, y2] in input coords (the
+           batch_idx is ignored for this single-image form).
+        offsets: (N, pooled, pooled, 2) normalized part offsets, or None.
+    Returns:
+        (N, pooled_size, pooled_size, output_dim)
+    """
+    h, w, _ = x.shape
+    ps = pooled_size
+
+    def pool_one(roi, off):
+        x1, y1, x2, y2 = roi[1], roi[2], roi[3], roi[4]
+        roi_x = x1 * spatial_scale - 0.5
+        roi_y = y1 * spatial_scale - 0.5
+        roi_w = jnp.maximum((x2 - x1) * spatial_scale, 0.1)
+        roi_h = jnp.maximum((y2 - y1) * spatial_scale, 0.1)
+        bin_w = roi_w / ps
+        bin_h = roi_h / ps
+
+        iy = jnp.arange(ps, dtype=jnp.float32)
+        ix = jnp.arange(ps, dtype=jnp.float32)
+        # bin centers (+ learned part offsets scaled by roi size)
+        cy = roi_y + (iy[:, None] + 0.5) * bin_h
+        cx = roi_x + (ix[None, :] + 0.5) * bin_w
+        cy = jnp.broadcast_to(cy, (ps, ps))
+        cx = jnp.broadcast_to(cx, (ps, ps))
+        if not no_trans and off is not None:
+            cy = cy + off[..., 0] * trans_std * roi_h
+            cx = cx + off[..., 1] * trans_std * roi_w
+
+        # position-sensitive channel selection: bin (i, j) reads group
+        # (gi, gj) of its output channel
+        gi = jnp.clip((iy * group_size / ps).astype(jnp.int32), 0,
+                      group_size - 1)
+        gj = jnp.clip((ix * group_size / ps).astype(jnp.int32), 0,
+                      group_size - 1)
+
+        # bilinear sample each bin center from the right score map
+        y0 = jnp.floor(cy)
+        x0 = jnp.floor(cx)
+        fy = cy - y0
+        fx = cx - x0
+        xg = x.reshape(h * w, -1)
+
+        def corner(dy, dx):
+            yy = y0.astype(jnp.int32) + dy
+            xx = x0.astype(jnp.int32) + dx
+            wgt = (jnp.where(dy == 0, 1 - fy, fy)
+                   * jnp.where(dx == 0, 1 - fx, fx))
+            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            flat = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            vals = xg[flat.reshape(-1)].reshape(ps, ps, -1)
+            return vals * (wgt * inb)[..., None]
+
+        sampled = (corner(0, 0) + corner(0, 1) + corner(1, 0)
+                   + corner(1, 1))          # (ps, ps, C)
+        sampled = sampled.reshape(ps, ps, group_size, group_size,
+                                  output_dim)
+        return sampled[jnp.arange(ps)[:, None], jnp.arange(ps)[None, :],
+                       gi[:, None], gj[None, :], :]
+
+    if offsets is None:
+        return jax.vmap(lambda r: pool_one(r, None))(rois)
+    return jax.vmap(pool_one)(rois, offsets)
+
+
 def torch_weight_to_kco(w_oihw):
     """Convert a torch DCN weight (Cout, Cin, kh, kw) ndarray to our
     (K, Cin, Cout) layout."""

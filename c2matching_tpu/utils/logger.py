@@ -91,6 +91,9 @@ class MessageLogger:
                         f'data_time: {data_time:.3f}] ')
 
         for k, v in log_vars.items():
+            # device arrays are fetched here (print time), not per-iter —
+            # on the tunneled platform each fetch is a host roundtrip
+            v = float(v)
             message += f'{k}: {v:.4e} '
             if self.tb_logger and self.use_tb_logger:
                 self.tb_logger.add_scalar(k, v, current_iter)

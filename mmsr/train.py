@@ -121,6 +121,27 @@ def main():
     msg_logger = MessageLogger(opt, current_iter, tb_logger)
     logger.info(
         f'Start training from epoch: {start_epoch}, iter: {current_iter}')
+
+    # preemption-aware checkpointing (beyond the reference, which only
+    # supports cold resume): SIGTERM/SIGINT save a resumable state first
+    import signal
+    preempted = {'flag': False}
+
+    def _on_signal(signum, frame):
+        preempted['flag'] = True
+        logger.warning(f'signal {signum} received; checkpointing before '
+                       'exit')
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
+    # optional device tracing: logger.trace_dir enables jax.profiler for
+    # iterations [trace_start_iter, trace_start_iter + trace_n_iters)
+    trace_dir = opt['logger'].get('trace_dir') if opt['logger'] else None
+    trace_start = (opt['logger'].get('trace_start_iter') or 10) \
+        if trace_dir else -1
+    trace_n = (opt['logger'].get('trace_n_iters') or 5) if trace_dir else 0
+
     data_time, iter_time = time.time(), time.time()
 
     for epoch in range(start_epoch, total_epochs + 1):
@@ -132,9 +153,22 @@ def main():
             current_iter += 1
             if current_iter > total_iters:
                 break
+            if trace_dir and current_iter == trace_start:
+                import jax
+                jax.profiler.start_trace(trace_dir)
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
+            if trace_dir and current_iter == trace_start + trace_n:
+                import jax
+                jax.profiler.stop_trace()
+                logger.info(f'profiler trace written to {trace_dir}')
             iter_time = time.time() - iter_time
+
+            if preempted['flag']:
+                logger.info('Saving models and training states '
+                            '(preemption).')
+                model.save(epoch, current_iter)
+                return
 
             if current_iter % opt['logger']['print_freq'] == 0:
                 log_vars = {'epoch': epoch, 'iter': current_iter,
