@@ -16,6 +16,7 @@ forward/backward flow becomes jitted step functions:
 Optimizer parity: 4 Adam param groups keyed on the same name substrings
 ('offset' x 'small'/'medium', :56-68) realized as a per-leaf LR tree.
 """
+import functools
 import logging
 import os.path as osp
 
@@ -68,9 +69,13 @@ class RefRestorationModel(SRModel):
 
         rng = jax.random.PRNGKey(opt.get('manual_seed') or 0)
         dummy = jnp.zeros((1, 64, 64, 3))
-        self.vars_extractor = self.net_extractor.init(rng, dummy, dummy)
-        feats = self.net_extractor.apply(self.vars_extractor, dummy, dummy)
-        self.vars_map = self.net_map.init(rng, feats, dummy)
+        # jit the init-time forwards: eager applies dispatch one tunnel
+        # roundtrip per primitive and take minutes at model creation
+        self.vars_extractor = jax.jit(self.net_extractor.init)(rng, dummy,
+                                                               dummy)
+        feats = jax.jit(self.net_extractor.apply)(self.vars_extractor,
+                                                  dummy, dummy)
+        self.vars_map = jax.jit(self.net_map.init)(rng, feats, dummy)
 
         load_path = self.opt['path'].get('pretrain_model_feature_extractor')
         if load_path:
@@ -108,7 +113,8 @@ class RefRestorationModel(SRModel):
             'relu2_1': jnp.zeros((1, 2 * h, 2 * h, 128)),
             'relu1_1': jnp.zeros((1, 4 * h, 4 * h, 64)),
         }
-        return self.net_g.init(rng, dummy_lr, pre_offset, ref_feat)
+        return jax.jit(self.net_g.init)(rng, dummy_lr, pre_offset,
+                                        ref_feat)
 
     # ------------------------------------------------------------ builders
     def _build_match(self):
@@ -141,8 +147,9 @@ class RefRestorationModel(SRModel):
         if self.opt.get('network_d'):
             self.net_d = networks.define_net_d(self.opt)
             rng = jax.random.PRNGKey(7)
-            self.vars_d = self.net_d.init(
-                rng, jnp.zeros((1, 160, 160, 3)), train=False)
+            self.vars_d = jax.jit(
+                functools.partial(self.net_d.init, train=False))(
+                    rng, jnp.zeros((1, 160, 160, 3)))
             load_path = self.opt['path'].get('pretrain_model_d')
             if load_path:
                 self.vars_d = self.merge_loaded(
@@ -168,8 +175,8 @@ class RefRestorationModel(SRModel):
                 **{k: v for k, v in train_opt['perceptual_opt'].items()})
             dummy = jnp.zeros((1, 64, 64, 3))
             self.vars_perceptual = self.replicate(
-                self.cri_perceptual.init(jax.random.PRNGKey(11), dummy,
-                                         dummy))
+                jax.jit(self.cri_perceptual.init)(
+                    jax.random.PRNGKey(11), dummy, dummy))
         else:
             logger.info('Remove perceptual loss.')
 

@@ -44,7 +44,7 @@ class SRModel(BaseModel):
 
     def _init_g_variables(self, rng):
         dummy = jnp.zeros((1, 40, 40, 3))
-        return self.net_g.init(rng, dummy)
+        return jax.jit(self.net_g.init)(rng, dummy)
 
     def init_training_settings(self):
         train_opt = self.opt['train']

@@ -33,8 +33,9 @@ class StudentContrasDistillationModel(BaseModel):
 
         rng = jax.random.PRNGKey(opt.get('manual_seed') or 0)
         dummy = jnp.zeros((1, 160, 160, 3))
-        self.vars_student = self.net_student.init(rng, dummy, dummy)
-        self.vars_teacher = self.net_teacher.init(
+        self.vars_student = jax.jit(self.net_student.init)(rng, dummy,
+                                                            dummy)
+        self.vars_teacher = jax.jit(self.net_teacher.init)(
             jax.random.PRNGKey(1), dummy, dummy)
 
         load_path = self.opt['path'].get('pretrain_model_student')

@@ -36,7 +36,7 @@ class TeacherContrasModel(BaseModel):
         gt = opt['datasets'].get('train', {}).get('gt_size', 160) \
             if opt.get('datasets') else 160
         dummy = jnp.zeros((1, gt, gt, 3))
-        self.vars_g = self.net_g.init(rng, dummy, dummy)
+        self.vars_g = jax.jit(self.net_g.init)(rng, dummy, dummy)
 
         load_path = self.opt['path'].get('pretrain_model_g')
         if load_path:
