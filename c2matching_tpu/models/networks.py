@@ -13,6 +13,11 @@ def _instantiate(opt_net):
     opt_net = dict(opt_net)
     cls = ARCH_REGISTRY.get(opt_net.pop('type'))
     kwargs = {k: v for k, v in opt_net.items() if v is not None}
+    if isinstance(kwargs.get('dtype'), str):
+        # mixed precision via YAML: e.g. ``dtype: bfloat16`` on any
+        # network block (params stay float32; compute in bf16)
+        import jax.numpy as jnp
+        kwargs['dtype'] = jnp.dtype(kwargs['dtype'])
     return cls(**kwargs)
 
 

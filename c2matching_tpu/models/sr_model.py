@@ -53,6 +53,16 @@ class SRModel(BaseModel):
             cls = LOSS_REGISTRY.get(train_opt['pixel_criterion'])
             self.cri_pix = cls(loss_weight=train_opt['pixel_weight'],
                                reduction='mean')
+        # optional perceptual term (sr_model.py:94-115)
+        self.cri_perceptual = None
+        self.vars_perceptual = None
+        if train_opt.get('perceptual_opt'):
+            self.cri_perceptual = PerceptualLoss(
+                **dict(train_opt['perceptual_opt']))
+            dummy = jnp.zeros((1, 64, 64, 3))
+            self.vars_perceptual = self.replicate(
+                jax.jit(self.cri_perceptual.init)(
+                    jax.random.PRNGKey(11), dummy, dummy))
         self.tx = make_adam(
             train_opt['lr_g'],
             betas=tuple(train_opt.get('beta_g') or (0.9, 0.999)),
@@ -64,18 +74,32 @@ class SRModel(BaseModel):
 
     def _build_train_step(self):
 
-        def loss_fn(params, batch):
+        def loss_fn(params, batch, perceptual_vars):
             out = self.net_g.apply({'params': params}, batch['img_in_lq'])
-            l_pix = self.cri_pix(out, batch['img_in'])
-            return l_pix, out
+            logs = {}
+            total = 0.
+            if self.cri_pix is not None:
+                l_pix = self.cri_pix(out, batch['img_in'])
+                total += l_pix
+                logs['l_pix'] = l_pix
+            if self.cri_perceptual is not None:
+                l_percep, l_style = self.cri_perceptual.apply(
+                    perceptual_vars, out, batch['img_in'])
+                if l_percep is not None:
+                    total += l_percep
+                    logs['l_percep'] = l_percep
+                if l_style is not None:
+                    total += l_style
+                    logs['l_style'] = l_style
+            return total, logs
 
         @jax.jit
-        def step(params, opt_state, batch):
-            (l_pix, _out), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
+        def step(params, opt_state, batch, perceptual_vars):
+            (_total, logs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch, perceptual_vars)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, {'l_pix': l_pix}
+            return params, opt_state, logs
 
         return step
 
@@ -88,7 +112,8 @@ class SRModel(BaseModel):
 
     def optimize_parameters(self, step):
         params, self.opt_state, logs = self._train_step(
-            self.vars_g['params'], self.opt_state, self.batch)
+            self.vars_g['params'], self.opt_state, self.batch,
+            self.vars_perceptual)
         self.vars_g = dict(self.vars_g, params=params)
         # keep device arrays; MessageLogger converts at print time
         self.log_dict = logs
