@@ -7,7 +7,7 @@ user-provided torchvision VGG state_dict (.pth) — layer-slice semantics
 (prefix up to the deepest requested layer, *inclusive*) are preserved so
 imported weights line up 1:1.
 """
-from typing import Any, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -9,8 +9,7 @@ every op in the discriminator is twice-differentiable); PerceptualLoss
 supports l1/l2/fro criteria incl. the fro variant used by the stage-3 GAN
 config (stage3_restoration_gan.yml:91-99).
 """
-import functools
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils import ProgressBar, imwrite, metrics, tensor2img
+from ..utils import ProgressBar, metrics, tensor2img
 from ..utils.registry import MODEL_REGISTRY
 from . import networks
 from .base_model import make_adam

@@ -5,7 +5,6 @@ feed_data/backward/step flow becomes one jitted train-step function
 (params, opt_state, batch) -> (params, opt_state, logs) with the
 vectorized triplet loss (contras_losses.py).
 """
-import functools
 import logging
 import os.path as osp
 

@@ -46,7 +46,6 @@ def test_gating_matches_reference(pretrain, d_steps, d_init):
 def test_model_control_flow_follows_gating(monkeypatch, tmp_path):
     """Drive RefRestorationModel.optimize_parameters with stubbed step
     functions and check which steps fire per iteration."""
-    import jax.numpy as jnp
     from c2matching_tpu.utils import dict_to_nonedict
     from c2matching_tpu.models import create_model
 

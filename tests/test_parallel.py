@@ -4,8 +4,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from c2matching_tpu.parallel import (get_mesh, replicate, shard_batch)
 
