@@ -146,8 +146,13 @@ def modulated_deform_conv_reference(x, offset, mask, weight, bias=None,
 # --------------------------------------------------------------------------
 # production implementation: corner-packed group-scan
 # --------------------------------------------------------------------------
-def _mdc_fast_single(x, offset, mask, weight):
-    """3x3/stride-1/pad-1 fast path; see module docstring for the design."""
+def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
+    """3x3/stride-1/pad-1 fast path; see module docstring for the design.
+
+    group_scan=True scans over deformable groups (small per-step gather
+    operand — right for large images). group_scan=False does one gather
+    over all groups (right for small images inside a batch scan, where
+    the whole-image operand already fits the gather fast path)."""
     h, w, c = x.shape
     ho, wo, g, k, _ = offset.shape
     cg = c // g
@@ -215,8 +220,22 @@ def _mdc_fast_single(x, offset, mask, weight):
                             preferred_element_type=jnp.float32)
         return acc, None
 
-    acc0 = jnp.zeros((p, co), jnp.float32)
-    out, _ = jax.lax.scan(group_step, acc0, (packed, flat, ws, w4))
+    if group_scan:
+        acc0 = jnp.zeros((p, co), jnp.float32)
+        out, _ = jax.lax.scan(group_step, acc0, (packed, flat, ws, w4))
+        return out.reshape(ho, wo, co)
+
+    # single gather over all groups: fold g into the row index
+    hw1 = (h + 1) * (w + 1)
+    packed_all = packed.reshape(g * hw1, 4 * cg)
+    flat_all = flat + (jnp.arange(g, dtype=jnp.int32) * hw1)[:, None]
+    rows = jnp.take(packed_all, flat_all.reshape(-1), axis=0)
+    # rows are [g][p][k][4Cg]; process per group with plain matmuls
+    rows = rows.reshape(g, p, k * 4 * cg)
+    factor = jnp.einsum('gpe,ec->gpc', ws, expand,
+                        preferred_element_type=jnp.float32)
+    out = jnp.einsum('gpc,gco->po', rows * factor, w4,
+                     preferred_element_type=jnp.float32)
     return out.reshape(ho, wo, co)
 
 
@@ -243,8 +262,24 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None,
         return modulated_deform_conv_reference(
             x, offset, mask, weight, bias, kernel_size, stride, padding,
             dilation)
-    out = jax.vmap(_mdc_fast_single, in_axes=(0, 0, 0, None))(
-        x, offset, mask, weight)
+
+    b, h, w, c = x.shape
+    # TPU gathers have a fast path only for smallish operands; batched
+    # (vmapped) gathers fall off it. When the whole per-image packed
+    # operand is small (training shapes), scan over the batch with one
+    # all-groups gather per image; for large images (eval shapes) vmap
+    # the per-image group-scan (B is 1 there anyway).
+    packed_bytes = (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
+    if b > 1 and packed_bytes <= 40 * 1024 * 1024:
+        def batch_step(_, args):
+            xi, oi, mi = args
+            return None, _mdc_fast_single(xi, oi, mi, weight,
+                                          group_scan=False)
+
+        _, out = jax.lax.scan(batch_step, None, (x, offset, mask))
+    else:
+        out = jax.vmap(_mdc_fast_single, in_axes=(0, 0, 0, None))(
+            x, offset, mask, weight)
     if bias is not None:
         out = out + bias
     return out
