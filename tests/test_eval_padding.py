@@ -1,0 +1,68 @@
+"""Eval-path coverage: unequal input/ref sizes (pair zero-padding,
+ref_cufed_dataset.py:98-116) + bucket padding and output cropping in
+RefRestorationModel."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope='module')
+def uneven_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('uneven')
+    subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, 'scripts', 'make_synth_dataset.py'),
+         str(root), '--n', '2', '--size', '72', '--ref-size', '96'],
+        check=True)
+    return str(root)
+
+
+def test_eval_with_unequal_sizes_and_bucketing(uneven_root, tmp_path):
+    from c2matching_tpu.data import DataLoader, create_dataset
+    from c2matching_tpu.models import create_model
+    from c2matching_tpu.utils import dict_to_nonedict
+
+    ds_opt = dict_to_nonedict({
+        'name': 'uneven', 'type': 'RefCUFEDDataset', 'phase': 'test',
+        'scale': 4,
+        'dataroot_in': os.path.join(uneven_root, 'input'),
+        'dataroot_ref': os.path.join(uneven_root, 'ref'),
+        'io_backend': {'type': 'disk'},
+        'ann_file': os.path.join(uneven_root, 'pairs.txt'),
+    })
+    ds = create_dataset(ds_opt)
+    item = ds[0]
+    # input 72 mod-cropped stays 72; ref 96 -> pair zero-padded to 96
+    assert item['padding'] is True
+    assert item['original_size'] == (72, 72)
+    assert item['img_in_lq'].shape == (24, 24, 3)     # 96 / 4
+    assert item['img_in'].shape == (72, 72, 3)        # unpadded GT
+
+    opt = dict_to_nonedict({
+        'name': 'uneven_eval', 'is_train': False,
+        'model_type': 'RefRestorationModel', 'scale': 4, 'crop_border': 4,
+        'manual_seed': 0,
+        'network_g': {'type': 'RestorationNet', 'ngf': 8, 'n_blocks': 1,
+                      'groups': 8},
+        'network_map': {'type': 'CorrespondenceGenerationArch'},
+        'network_extractor': {'type': 'ContrasExtractorSep'},
+        'path': {'models': str(tmp_path), 'training_state': str(tmp_path),
+                 'visualization': str(tmp_path)},
+    })
+    model = create_model(opt)
+    loader = DataLoader(ds, batch_size=1)
+    val_data = next(iter(loader))
+    sr_img, gt_img = model._validation_images(val_data)
+    # output cropped back to the original (unpadded) size; lq 24 buckets
+    # to 32 -> raw output 128, cropped to pair size 96 then to 72
+    assert sr_img.shape == (72, 72, 3)
+    assert gt_img.shape == (72, 72, 3)
+    assert np.all(np.isfinite(sr_img.astype(np.float64)))
+
+    # full validation loop runs and logs without error
+    model.nondist_validation(loader, 1, None, save_img=False)
