@@ -23,3 +23,16 @@ jax.config.update('jax_platforms', 'cpu')
 assert jax.devices()[0].platform == 'cpu', (
     'tests must run on the virtual CPU platform')
 assert len(jax.devices()) == 8, 'expected 8 virtual CPU devices'
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope='module')
+def _clear_jax_caches_per_module():
+    """Cap host memory across the suite: compiled executables from the
+    heavyweight full-model tests otherwise accumulate in one process and
+    can abort the interpreter near the end of the run."""
+    yield
+    jax.clear_caches()
+    import gc
+    gc.collect()
