@@ -11,17 +11,21 @@ op is arbitrarily differentiable.
 
 Two implementations, same semantics:
 
-- ``modulated_deform_conv`` (production): corner-packed group-scan. TPU
-  gathers are row-count-bound with a fast path for small operands, so
-  (1) the 4 bilinear corners are pre-concatenated into single rows of a
-  zero-ring-padded operand (4x fewer gathers), (2) the scan runs over
-  deformable groups so each step's gather operand stays small, and
-  (3) every intermediate keeps a large trailing dim (tiny minor dims
-  tile-pad up to 32x on TPU and dominated early versions): corner weights
-  are expanded to per-column factors with constant 0/1 expansion matmuls
-  and the corner-sum is folded into a row-replicated weight matmul.
-  Measured at CUFED5-scale relu1 (512x336x64, G=8): 123 ms vs 360 ms for
-  the naive formulation on one v5e chip.
+- ``modulated_deform_conv`` (production): conv-packed corners + group
+  scan. TPU gather throughput is bound by PADDED output bytes (minor
+  dims pad to 128 lanes), so (1) the 4 bilinear corners of each sample
+  are packed into single gather rows of a zero-ring-padded operand (4x
+  fewer rows; packing itself is a 2x2 0/1-kernel convolution on the
+  MXU), (2) the scan runs over deformable groups so each step's gather
+  operand stays small, (3) all index/factor prep keeps P in the minor
+  dim (tiny minor dims tile-pad up to 14x), and (4) batching is a
+  lax.scan over images — a vmapped gather falls off the TPU fast path
+  even at batch 1. Corner weights are expanded to per-column factors
+  with constant 0/1 expansion matmuls and the corner-sum is folded into
+  a row-replicated weight matmul. Measured at CUFED5-scale relu1
+  (512x336x64, G=8) on one v5e chip: 85 ms (vs 121 ms for the round-1
+  slice/concat/vmap version and 360 ms for the naive formulation);
+  batch-4: 269 ms vs 783 ms.
 
 - ``modulated_deform_conv_reference``: straightforward per-tap gather
   formulation; the oracle-tested ground truth (kept for tests and
@@ -48,6 +52,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # --------------------------------------------------------------------------
@@ -144,44 +149,67 @@ def modulated_deform_conv_reference(x, offset, mask, weight, bias=None,
 
 
 # --------------------------------------------------------------------------
-# production implementation: corner-packed group-scan
+# production implementation: conv-packed corners + group-scan gather
 # --------------------------------------------------------------------------
+def _pack_corner_kernel(g, cg):
+    """(2, 2, C, 4*C) 0/1 conv kernel realizing the corner packing:
+    out channel g*4cg + corner*cg + cc <- in channel g*cg + cc at conv
+    tap (dy, dx), corner = dy*2 + dx.
+
+    Expressing the pack as a 2x2 convolution keeps it on the MXU; the
+    equivalent slice+concat+transpose chain costs ~25 ms at relu1 eval
+    scale because the x-shifted lane interleave defeats XLA's tiling."""
+    c = g * cg
+    kern = np.zeros((2, 2, c, 4 * c), np.float32)
+    for dy in range(2):
+        for dx in range(2):
+            corner = dy * 2 + dx
+            for gi in range(g):
+                for cc in range(cg):
+                    kern[dy, dx, gi * cg + cc,
+                         gi * 4 * cg + corner * cg + cc] = 1.0
+    return jnp.asarray(kern)
+
+
 def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     """3x3/stride-1/pad-1 fast path; see module docstring for the design.
 
+    All index/factor prep runs in (G, K, P) layouts (P minor): arrays
+    with a tiny minor dim ((P, G, 9)-style slices) tile-pad up to 14x on
+    TPU and used to dominate the op. The single layout change is one
+    (P, G*K*2) -> (G*K*2, P) transpose of the offsets.
+
     group_scan=True scans over deformable groups (small per-step gather
     operand — right for large images). group_scan=False does one gather
-    over all groups (right for small images inside a batch scan, where
-    the whole-image operand already fits the gather fast path)."""
+    over all groups (right for small images, where the whole-image
+    operand already fits the gather fast path)."""
     h, w, c = x.shape
     ho, wo, g, k, _ = offset.shape
     cg = c // g
     p = ho * wo
     co = weight.shape[-1]
+    h1, w1 = h + 1, w + 1
 
-    # corner packing: packed[g, y*(W+1)+x] = [c00|c01|c10|c11] of group g
-    # at (y-1, x-1) in original coords, zero ring at the border
+    # corner packing: packed[y*(W+1)+x, g, :] = [c00|c01|c10|c11] of
+    # group g at (y-1, x-1) in original coords, zero ring at the border.
+    # HIGHEST precision: a 0/1 kernel contraction must move f32 values
+    # losslessly (default TPU dot truncates inputs to bf16).
     xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
-    c00 = xp[:-1, :-1]
-    c01 = xp[:-1, 1:]
-    c10 = xp[1:, :-1]
-    c11 = xp[1:, 1:]
-    packed = jnp.concatenate([
-        c00.reshape(h + 1, w + 1, g, cg), c01.reshape(h + 1, w + 1, g, cg),
-        c10.reshape(h + 1, w + 1, g, cg), c11.reshape(h + 1, w + 1, g, cg),
-    ], axis=-1)
-    packed = packed.transpose(2, 0, 1, 3).reshape(g, (h + 1) * (w + 1),
-                                                  4 * cg)
+    packed = jax.lax.conv_general_dilated(
+        xp[None], _pack_corner_kernel(g, cg), window_strides=(1, 1),
+        padding='VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=jax.lax.Precision.HIGHEST)[0]
+    packed = packed.reshape(h1 * w1, g, 4 * cg)
 
     base_y, base_x, ky, kx = _base_grid(ho, wo, 3, 3, (1, 1), (1, 1),
                                         (1, 1))
-    off_y = offset[..., 0].reshape(p, g, k).transpose(1, 2, 0)  # (G,K,P)
-    off_x = offset[..., 1].reshape(p, g, k).transpose(1, 2, 0)
-    sy = base_y[None, None, :] + ky[None, :, None] + off_y
+    offt = offset.reshape(p, g * k * 2).T.reshape(g, k, 2, p)
+    off_y = offt[:, :, 0, :]
+    off_x = offt[:, :, 1, :]
+    sy = base_y[None, None, :] + ky[None, :, None] + off_y   # (G, K, P)
     sx = base_x[None, None, :] + kx[None, :, None] + off_x
-    m = mask.reshape(p, g, k).transpose(1, 2, 0)
+    mt = mask.reshape(p, g * k).T.reshape(g, k, p)
 
-    # hoisted index / corner-weight computation (keeps scan steps pure)
     valid = (sy > -1.) & (sy < h) & (sx > -1.) & (sx < w)
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
@@ -189,14 +217,12 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     fx = sx - x0
     ys = jnp.clip(y0.astype(jnp.int32) + 1, 0, h)
     xs = jnp.clip(x0.astype(jnp.int32) + 1, 0, w)
-    flat = (ys * (w + 1) + xs).transpose(0, 2, 1)     # (G, P, K)
-    flat = flat.reshape(g, p * k)
+    flat = (ys * w1 + xs).transpose(0, 2, 1).reshape(g, p * k)
 
-    mm = m * valid.astype(jnp.float32)
+    mm = mt * valid.astype(jnp.float32)
     ws = jnp.stack([(1 - fy) * (1 - fx) * mm, (1 - fy) * fx * mm,
                     fy * (1 - fx) * mm, fy * fx * mm],
-                   axis=0)                            # (4, G, K, P)
-    ws = ws.transpose(1, 3, 2, 0).reshape(g, p, k * 4)  # [k][corner]
+                   axis=2).reshape(g, k * 4, p)       # [k][corner], P minor
 
     # factor expansion: (K*4, K*4*Cg) constant 0/1, E[i, i*Cg+j] = 1
     eye = jnp.eye(k * 4, dtype=jnp.float32)
@@ -211,10 +237,12 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     w4 = w4.reshape(g, k * 4 * cg, co)
 
     def group_step(acc, args):
-        packed_g, flat_g, ws_g, w4_g = args
+        gi, flat_g, ws_g, w4_g = args
+        packed_g = jax.lax.dynamic_slice_in_dim(packed, gi, 1,
+                                                axis=1)[:, 0]
         rows = jnp.take(packed_g, flat_g, axis=0)     # (P*K, 4Cg)
         rows = rows.reshape(p, k * 4 * cg)            # [k][corner][cg]
-        factor = jnp.dot(ws_g, expand,
+        factor = jnp.dot(ws_g.T, expand,
                          preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(rows * factor, w4_g,
                             preferred_element_type=jnp.float32)
@@ -222,17 +250,18 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
 
     if group_scan:
         acc0 = jnp.zeros((p, co), jnp.float32)
-        out, _ = jax.lax.scan(group_step, acc0, (packed, flat, ws, w4))
+        out, _ = jax.lax.scan(group_step, acc0,
+                              (jnp.arange(g), flat, ws, w4))
         return out.reshape(ho, wo, co)
 
     # single gather over all groups: fold g into the row index
-    hw1 = (h + 1) * (w + 1)
-    packed_all = packed.reshape(g * hw1, 4 * cg)
-    flat_all = flat + (jnp.arange(g, dtype=jnp.int32) * hw1)[:, None]
+    hw1 = h1 * w1
+    packed_all = packed.reshape(hw1 * g, 4 * cg)
+    flat_all = flat * g + jnp.arange(g, dtype=jnp.int32)[:, None]
     rows = jnp.take(packed_all, flat_all.reshape(-1), axis=0)
     # rows are [g][p][k][4Cg]; process per group with plain matmuls
     rows = rows.reshape(g, p, k * 4 * cg)
-    factor = jnp.einsum('gpe,ec->gpc', ws, expand,
+    factor = jnp.einsum('gep,ec->gpc', ws, expand,
                         preferred_element_type=jnp.float32)
     out = jnp.einsum('gpc,gco->po', rows * factor, w4,
                      preferred_element_type=jnp.float32)
@@ -264,22 +293,24 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None,
             dilation)
 
     b, h, w, c = x.shape
-    # TPU gathers have a fast path only for smallish operands; batched
-    # (vmapped) gathers fall off it. When the whole per-image packed
-    # operand is small (training shapes), scan over the batch with one
-    # all-groups gather per image; for large images (eval shapes) vmap
-    # the per-image group-scan (B is 1 there anyway).
+    # Batching is ALWAYS a lax.scan over images: a vmapped gather falls
+    # off the TPU fast path even at batch 1 (measured +32 ms at relu1
+    # eval scale, and batch-4 eval 783 -> 269 ms after the switch).
+    # Within an image, scan over deformable groups when the packed
+    # operand is large (eval shapes) and do one all-groups gather when
+    # it is small (training shapes).
     packed_bytes = (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
-    if b > 1 and packed_bytes <= 40 * 1024 * 1024:
+    group_scan = packed_bytes > 40 * 1024 * 1024
+    if b == 1:
+        out = _mdc_fast_single(x[0], offset[0], mask[0], weight,
+                               group_scan=group_scan)[None]
+    else:
         def batch_step(_, args):
             xi, oi, mi = args
             return None, _mdc_fast_single(xi, oi, mi, weight,
-                                          group_scan=False)
+                                          group_scan=group_scan)
 
         _, out = jax.lax.scan(batch_step, None, (x, offset, mask))
-    else:
-        out = jax.vmap(_mdc_fast_single, in_axes=(0, 0, 0, None))(
-            x, offset, mask, weight)
     if bias is not None:
         out = out + bias
     return out
