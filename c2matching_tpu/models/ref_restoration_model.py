@@ -6,12 +6,21 @@ forward/backward flow becomes jitted step functions:
 - ``match``: extractor + correspondence generation, stop-gradient (neither
   is trained in stage 3; the reference runs net_map under grad but no
   trainable params receive those gradients).
-- ``g_pretrain_step``: pixel loss only (steps <= net_g_pretrain_steps,
-  :199-207).
-- ``d_step``: WGAN real/fake + gradient penalty (:209-232) — grad-of-grad
-  through the discriminator.
-- ``g_step``: pixel + perceptual(fro) + GAN-G losses (:234-269) with the
-  exact (net_d_steps, net_d_init_steps) gating (:241-242).
+- ``g_pretrain_step``: match + pixel loss only (steps <=
+  net_g_pretrain_steps, :199-207), one fused jit.
+- ``gan_step``: the whole GAN iteration in ONE fused, donated jit —
+  match -> a single G forward captured with jax.vjp -> D update (WGAN
+  real/fake + gradient penalty, :209-232 — grad-of-grad through the
+  discriminator) -> G update (pixel + perceptual(fro) + GAN-G losses,
+  :234-269). The G gradient is the vjp of the loss-on-output cotangent,
+  so the G forward runs exactly once per iteration (the reference
+  retains one autograd graph the same way); the GAN-G term reads the
+  UPDATED discriminator, matching the reference's update order. The
+  (net_d_steps, net_d_init_steps) gating (:241-242) enters as a static
+  ``do_g`` flag.
+
+``_build_d_step``/``_build_g_step``/``_build_forward`` retain the
+round-1 unfused steps; tests pin fused-vs-unfused equivalence on them.
 
 Optimizer parity: 4 Adam param groups keyed on the same name substrings
 ('offset' x 'small'/'medium', :56-68) realized as a per-leaf LR tree.
@@ -117,18 +126,18 @@ class RefRestorationModel(SRModel):
                                         ref_feat)
 
     # ------------------------------------------------------------ builders
+    def _match_graph(self, extractor_params, map_vars, img_in_up, img_ref):
+        """Extractor + correspondence generation subgraph (traced inline
+        into the fused train steps and into the standalone _match jit)."""
+        feats = self.net_extractor.apply(extractor_params, img_in_up,
+                                         img_ref)
+        pre_offset, img_ref_feat = self.net_map.apply(map_vars, feats,
+                                                      img_ref)
+        return (jax.tree.map(jax.lax.stop_gradient, pre_offset),
+                jax.tree.map(jax.lax.stop_gradient, img_ref_feat))
+
     def _build_match(self):
-
-        @jax.jit
-        def match(extractor_params, map_vars, img_in_up, img_ref):
-            feats = self.net_extractor.apply(extractor_params, img_in_up,
-                                             img_ref)
-            pre_offset, img_ref_feat = self.net_map.apply(map_vars, feats,
-                                                          img_ref)
-            return (jax.tree.map(jax.lax.stop_gradient, pre_offset),
-                    jax.tree.map(jax.lax.stop_gradient, img_ref_feat))
-
-        return match
+        return jax.jit(self._match_graph)
 
     def _build_forward(self):
 
@@ -214,6 +223,7 @@ class RefRestorationModel(SRModel):
         if self.net_d:
             self._d_step = self._build_d_step()
         self._g_step = self._build_g_step()
+        self._gan_step = self._build_gan_step()
         self._rng = jax.random.PRNGKey(
             self.opt.get('manual_seed') or 0)
         self.log_dict = {}
@@ -228,19 +238,20 @@ class RefRestorationModel(SRModel):
         return lrs
 
     # --------------------------------------------------------------- steps
-    def _g_losses(self, g_params, batch, pre_offset, ref_feat, d_vars,
-                  perceptual_vars, with_gan):
-        output = self.net_g.apply({'params': g_params}, batch['img_in_lq'],
-                                  pre_offset, ref_feat)
+    def _out_losses(self, output, gt, d_vars, perceptual_vars, with_gan):
+        """G losses as a function of the G OUTPUT (pixel + perceptual +
+        GAN-G, ref_restoration_model.py:234-269); the fused step back-
+        propagates its cotangent through one saved jax.vjp of the G
+        forward."""
         logs = {}
         total = 0.
         if self.cri_pix is not None:
-            l_g_pix = self.cri_pix(output, batch['img_in'])
+            l_g_pix = self.cri_pix(output, gt)
             total += l_g_pix
             logs['l_g_pix'] = l_g_pix
         if self.cri_perceptual is not None and perceptual_vars is not None:
             l_g_percep, l_g_style = self.cri_perceptual.apply(
-                perceptual_vars, output, batch['img_in'])
+                perceptual_vars, output, gt)
             if l_g_percep is not None:
                 total += l_g_percep
                 logs['l_g_percep'] = l_g_percep
@@ -253,7 +264,48 @@ class RefRestorationModel(SRModel):
                                loss_weight=self.gan_weight, is_disc=False)
             total += l_g_gan
             logs['l_g_gan'] = l_g_gan
+        return total, logs
+
+    def _g_losses(self, g_params, batch, pre_offset, ref_feat, d_vars,
+                  perceptual_vars, with_gan):
+        output = self.net_g.apply({'params': g_params}, batch['img_in_lq'],
+                                  pre_offset, ref_feat)
+        total, logs = self._out_losses(output, batch['img_in'], d_vars,
+                                       perceptual_vars, with_gan)
         return total, (logs, output)
+
+    def _d_loss_fn(self, d_params, other, gt, fake, rng):
+        """WGAN D loss (real/fake + gradient penalty,
+        ref_restoration_model.py:209-232); shared by the fused and
+        unfused D steps."""
+        variables = dict(other, params=d_params)
+        real_pred, new_state = self.net_d.apply(
+            variables, gt, train=True, mutable=['batch_stats'])
+        l_d_real = gan_loss(real_pred, True, self.gan_type, is_disc=True)
+        fake_pred, new_state = self.net_d.apply(
+            dict(new_state, params=d_params), fake, train=True,
+            mutable=['batch_stats'])
+        l_d_fake = gan_loss(fake_pred, False, self.gan_type, is_disc=True)
+        l_d_total = l_d_real + l_d_fake
+        logs = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
+                'out_d_real': jnp.mean(real_pred),
+                'out_d_fake': jnp.mean(fake_pred)}
+        if self.grad_penalty_weight > 0:
+            def disc_fn(x):
+                # train-mode BN (batch statistics), matching the
+                # reference's D(interpolates) in train mode; stat
+                # updates from this pass are discarded
+                out, _ = self.net_d.apply(
+                    dict(other, params=d_params), x, train=True,
+                    mutable=['batch_stats'])
+                return out
+
+            l_gp = gradient_penalty_loss(
+                disc_fn, gt, fake, rng,
+                loss_weight=self.grad_penalty_weight)
+            l_d_total += l_gp
+            logs['l_grad_penalty'] = l_gp
+        return l_d_total, (logs, new_state['batch_stats'])
 
     def _build_g_pretrain_step(self):
 
@@ -263,8 +315,11 @@ class RefRestorationModel(SRModel):
                                       ref_feat)
             return self.cri_pix(output, batch['img_in']), output
 
-        @jax.jit
-        def step(g_params, opt_state, batch, pre_offset, ref_feat):
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(g_params, opt_state, extractor_vars, map_vars, batch):
+            pre_offset, ref_feat = self._match_graph(
+                extractor_vars, map_vars, batch['img_in_up'],
+                batch['img_ref'])
             (l_pix, output), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(g_params, batch, pre_offset,
                                        ref_feat)
@@ -275,52 +330,22 @@ class RefRestorationModel(SRModel):
 
         return step
 
+    def _d_update(self, d_vars, opt_state, gt, fake, rng):
+        """One discriminator update (traced; used by both step builders)."""
+        d_params = d_vars['params']
+        other = {k: v for k, v in d_vars.items() if k != 'params'}
+        (l_d, (logs, batch_stats)), grads = jax.value_and_grad(
+            self._d_loss_fn, has_aux=True)(d_params, other, gt, fake, rng)
+        updates, opt_state = self.tx_d.update(grads, opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+        new_vars = dict(other, params=d_params, batch_stats=batch_stats)
+        return new_vars, opt_state, logs
+
     def _build_d_step(self):
 
         @jax.jit
         def step(d_vars, opt_state, gt, fake, rng):
-            d_params = d_vars['params']
-            other = {k: v for k, v in d_vars.items() if k != 'params'}
-
-            def loss_fn(d_params):
-                variables = dict(other, params=d_params)
-                real_pred, new_state = self.net_d.apply(
-                    variables, gt, train=True, mutable=['batch_stats'])
-                l_d_real = gan_loss(real_pred, True, self.gan_type,
-                                    is_disc=True)
-                fake_pred, new_state = self.net_d.apply(
-                    dict(new_state, params=d_params), fake, train=True,
-                    mutable=['batch_stats'])
-                l_d_fake = gan_loss(fake_pred, False, self.gan_type,
-                                    is_disc=True)
-                l_d_total = l_d_real + l_d_fake
-                logs = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
-                        'out_d_real': jnp.mean(real_pred),
-                        'out_d_fake': jnp.mean(fake_pred)}
-                if self.grad_penalty_weight > 0:
-                    def disc_fn(x):
-                        # train-mode BN (batch statistics), matching the
-                        # reference's D(interpolates) in train mode;
-                        # stat updates from this pass are discarded
-                        out, _ = self.net_d.apply(
-                            dict(other, params=d_params), x, train=True,
-                            mutable=['batch_stats'])
-                        return out
-                    l_gp = gradient_penalty_loss(
-                        disc_fn, gt, fake, rng,
-                        loss_weight=self.grad_penalty_weight)
-                    l_d_total += l_gp
-                    logs['l_grad_penalty'] = l_gp
-                return l_d_total, (logs, new_state['batch_stats'])
-
-            (l_d, (logs, batch_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(d_params)
-            updates, opt_state = self.tx_d.update(grads, opt_state,
-                                                  d_params)
-            d_params = optax.apply_updates(d_params, updates)
-            new_vars = dict(other, params=d_params,
-                            batch_stats=batch_stats)
-            return new_vars, opt_state, logs
+            return self._d_update(d_vars, opt_state, gt, fake, rng)
 
         return step
 
@@ -337,6 +362,60 @@ class RefRestorationModel(SRModel):
                                                   g_params)
             g_params = optax.apply_updates(g_params, updates)
             return g_params, opt_state, output, logs
+
+        return step
+
+    def _build_gan_step(self):
+        """The whole post-pretrain iteration as ONE donated jit (see
+        module docstring): match -> single G forward (jax.vjp) ->
+        D update -> G update with the updated D. ``do_g`` is static:
+        the rare net_d_steps>1 configs compile two variants."""
+        with_d = self.net_d is not None
+
+        @functools.partial(jax.jit, static_argnames=('do_g',),
+                           donate_argnums=(0, 1, 2, 3))
+        def step(g_params, opt_g, d_vars, opt_d, extractor_vars, map_vars,
+                 batch, perceptual_vars, rng, *, do_g):
+            pre_offset, ref_feat = self._match_graph(
+                extractor_vars, map_vars, batch['img_in_up'],
+                batch['img_ref'])
+
+            def fwd(p):
+                return self.net_g.apply({'params': p}, batch['img_in_lq'],
+                                        pre_offset, ref_feat)
+
+            # remat the G forward: holding its residuals across the D
+            # grad-of-grad update OOMs a 16G chip at batch 9/160px; the
+            # backward recomputes them instead (the reference pays the
+            # same second forward by retaining one autograd graph).
+            # Exception: the gathered DCN rows are saved (the gathers are
+            # the expensive part of the forward; everything else is
+            # cheap to recompute).
+            remat_fwd = jax.checkpoint(
+                fwd, policy=jax.checkpoint_policies.save_only_these_names(
+                    'dcn_rows'))
+            output, g_vjp = jax.vjp(remat_fwd, g_params)
+            fake = jax.lax.stop_gradient(output)
+
+            logs = {}
+            if with_d:
+                d_vars, opt_d, d_logs = self._d_update(
+                    d_vars, opt_d, batch['img_in'], fake, rng)
+                logs.update(d_logs)
+
+            if do_g:
+                def out_loss(out):
+                    return self._out_losses(out, batch['img_in'], d_vars,
+                                            perceptual_vars, with_d)
+
+                (l_g, g_logs), dout = jax.value_and_grad(
+                    out_loss, has_aux=True)(output)
+                grads_g = g_vjp(dout)[0]
+                updates, opt_g = self.tx_g.update(grads_g, opt_g, g_params)
+                g_params = optax.apply_updates(g_params, updates)
+                logs.update(g_logs)
+
+            return g_params, opt_g, d_vars, opt_d, fake, logs
 
         return step
 
@@ -375,43 +454,31 @@ class RefRestorationModel(SRModel):
                                            'lq_path') if k in batch}
 
     def optimize_parameters(self, step):
-        pre_offset, ref_feat = self._match(
-            self.vars_extractor, self.vars_map, self.batch['img_in_up'],
-            self.batch['img_ref'])
-
         if step <= self.net_g_pretrain_steps:
             params, self.opt_state_g, self.output, logs = \
                 self._g_pretrain_step(self.vars_g['params'],
-                                      self.opt_state_g, self.batch,
-                                      pre_offset, ref_feat)
+                                      self.opt_state_g,
+                                      self.vars_extractor, self.vars_map,
+                                      self.batch)
             self.vars_g = dict(self.vars_g, params=params)
             self.log_dict = logs
             return
 
-        logs_all = {}
-        if self.net_d:
-            output = self._forward(self.vars_g['params'],
-                                   self.batch['img_in_lq'], pre_offset,
-                                   ref_feat)
-            self._rng, sub = jax.random.split(self._rng)
-            self.vars_d, self.opt_state_d, d_logs = self._d_step(
-                self.vars_d, self.opt_state_d, self.batch['img_in'],
-                output, sub)
-            logs_all.update(d_logs)
-            self.output = output
-
         do_g = ((step - self.net_g_pretrain_steps) % self.net_d_steps == 0
                 and (step - self.net_g_pretrain_steps)
                 > self.net_d_init_steps)
-        if do_g:
-            params, self.opt_state_g, self.output, g_logs = self._g_step(
-                self.vars_g['params'], self.opt_state_g, self.batch,
-                pre_offset, ref_feat,
-                self.vars_d if self.net_d else None,
-                self.vars_perceptual)
-            self.vars_g = dict(self.vars_g, params=params)
-            logs_all.update(g_logs)
-        self.log_dict = logs_all
+        self._rng, sub = jax.random.split(self._rng)
+        (params, self.opt_state_g, d_vars, opt_d, self.output,
+         self.log_dict) = self._gan_step(
+            self.vars_g['params'], self.opt_state_g,
+            self.vars_d if self.net_d else {},
+            self.opt_state_d if self.net_d else (),
+            self.vars_extractor, self.vars_map, self.batch,
+            self.vars_perceptual, sub, do_g=bool(do_g))
+        self.vars_g = dict(self.vars_g, params=params)
+        if self.net_d:
+            self.vars_d = d_vars
+            self.opt_state_d = opt_d
 
     def test(self):
         pre_offset, ref_feat = self._match(

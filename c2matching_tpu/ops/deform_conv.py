@@ -53,6 +53,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 
 # --------------------------------------------------------------------------
@@ -242,6 +243,7 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
                                                 axis=1)[:, 0]
         rows = jnp.take(packed_g, flat_g, axis=0)     # (P*K, 4Cg)
         rows = rows.reshape(p, k * 4 * cg)            # [k][corner][cg]
+        rows = checkpoint_name(rows, 'dcn_rows')
         factor = jnp.dot(ws_g.T, expand,
                          preferred_element_type=jnp.float32)
         acc = acc + jnp.dot(rows * factor, w4_g,
@@ -260,7 +262,7 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     flat_all = flat * g + jnp.arange(g, dtype=jnp.int32)[:, None]
     rows = jnp.take(packed_all, flat_all.reshape(-1), axis=0)
     # rows are [g][p][k][4Cg]; process per group with plain matmuls
-    rows = rows.reshape(g, p, k * 4 * cg)
+    rows = checkpoint_name(rows.reshape(g, p, k * 4 * cg), 'dcn_rows')
     factor = jnp.einsum('gep,ec->gpc', ws, expand,
                         preferred_element_type=jnp.float32)
     out = jnp.einsum('gpc,gco->po', rows * factor, w4,

@@ -70,16 +70,20 @@ def test_model_control_flow_follows_gating(monkeypatch, tmp_path):
     model = create_model(opt)
 
     calls = []
-    model._match = lambda *a: ('po', 'rf')
-    model._forward = lambda *a: 'out'
     model._g_pretrain_step = lambda *a: (
         calls.append('g_pretrain') or
         (model.vars_g['params'], model.opt_state_g, 'out', {}))
-    model._d_step = lambda *a: (
-        calls.append('d') or (model.vars_d, model.opt_state_d, {}))
-    model._g_step = lambda *a: (
-        calls.append('g') or
-        (model.vars_g['params'], model.opt_state_g, 'out', {}))
+
+    def fused_stub(*a, do_g):
+        # the fused step always runs D (net_d is configured) and runs G
+        # iff do_g — record what the jitted graph would execute
+        calls.append('d')
+        if do_g:
+            calls.append('g')
+        return (model.vars_g['params'], model.opt_state_g, model.vars_d,
+                model.opt_state_d, 'out', {})
+
+    model._gan_step = fused_stub
     model.shard_batch = lambda b: b
 
     expected = []

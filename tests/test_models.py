@@ -199,6 +199,80 @@ def test_stage3_mse_train_step(synth_root, tmp_path):
     assert out.shape == (2, 64, 64, 3)
 
 
+def test_stage3_gan_fused_step_matches_unfused(synth_root, tmp_path):
+    """The single fused GAN jit (match -> vjp'd G forward -> D update ->
+    G update) must reproduce the round-1 unfused step sequence
+    (_match/_forward/_d_step/_g_step) exactly at a fixed seed."""
+    import jax
+    import jax.numpy as jnp
+    from c2matching_tpu.data import create_dataset, DataLoader
+    from c2matching_tpu.models import create_model
+
+    opt = _mini_opt(synth_root, str(tmp_path), 'RefRestorationModel')
+    opt['network_g'] = dict_to_nd({'type': 'RestorationNet', 'ngf': 16,
+                                   'n_blocks': 2, 'groups': 8})
+    opt['network_d'] = dict_to_nd({'type': 'ImageDiscriminator',
+                                   'in_nc': 3, 'ndf': 4})
+    opt['network_map'] = dict_to_nd({
+        'type': 'CorrespondenceGenerationArch', 'patch_size': 3,
+        'stride': 1, 'vgg_layer_list': ['relu1_1', 'relu2_1', 'relu3_1'],
+        'vgg_type': 'vgg19'})
+    opt['network_extractor'] = dict_to_nd({'type': 'ContrasExtractorSep'})
+    opt['train'].update({
+        'pixel_criterion': 'L1Loss', 'pixel_weight': 1.0,
+        'gan_type': 'wgan', 'gan_weight': 1e-2,
+        'grad_penalty_weight': 10.0, 'lr_d': 1e-4,
+        'net_g_pretrain_steps': 0, 'net_d_steps': 1,
+        'net_d_init_steps': 0, 'lr_g': 1e-4,
+    })
+
+    ds = create_dataset(opt['datasets']['train'])
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+    model = create_model(opt)
+    model.feed_data(next(iter(loader)))
+
+    def cp(t):
+        return jax.tree.map(jnp.array, t)
+
+    g0 = cp(model.vars_g['params'])
+    og0 = cp(model.opt_state_g)
+    d0 = cp(model.vars_d)
+    od0 = cp(model.opt_state_d)
+    rng = jax.random.PRNGKey(42)
+
+    # --- unfused round-1 sequence
+    pre, rf = model._match(model.vars_extractor, model.vars_map,
+                           model.batch['img_in_up'],
+                           model.batch['img_ref'])
+    out = model._forward(g0, model.batch['img_in_lq'], pre, rf)
+    d1, od1, d_logs = model._d_step(cp(d0), cp(od0),
+                                    model.batch['img_in'], out, rng)
+    g1, og1, out1, g_logs = model._g_step(cp(g0), cp(og0), model.batch,
+                                          pre, rf, d1,
+                                          model.vars_perceptual)
+
+    # --- fused
+    g2, og2, d2, od2, out2, logs2 = model._gan_step(
+        cp(g0), cp(og0), cp(d0), cp(od0), model.vars_extractor,
+        model.vars_map, model.batch, model.vars_perceptual, rng,
+        do_g=True)
+
+    for name, a, b in (('g_params', g1, g2), ('d_vars', d1, d2),
+                       ('opt_g', og1, og2), ('opt_d', od1, od2)):
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=name)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-6)
+    for k in ('l_g_pix', 'l_g_gan'):
+        np.testing.assert_allclose(float(g_logs[k]), float(logs2[k]),
+                                   rtol=1e-4)
+    for k in ('l_d_real', 'l_d_fake', 'l_grad_penalty'):
+        np.testing.assert_allclose(float(d_logs[k]), float(logs2[k]),
+                                   rtol=1e-4)
+
+
 def dict_to_nd(d):
     from c2matching_tpu.utils import dict_to_nonedict
     return dict_to_nonedict(d)
