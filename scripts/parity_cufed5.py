@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""One-command CUFED5 quality-parity harness.
+
+Drop in the reference's released weights and data, run one command, read
+the PSNR delta against the paper numbers (BASELINE.md):
+
+    python scripts/parity_cufed5.py \
+        --data ./datasets/CUFED5 \
+        --weights-g  c2_matching_restoration_mse.pth \
+        --weights-extractor feature_extraction.pth
+
+Evaluation protocol parity: mmsr/models/ref_restoration_model.py:295-370
+(PSNR / PSNR_Y / SSIM_Y on BGR uint8 with crop_border = scale, BT.601 Y)
+over datasets/CUFED5_pairs.txt. Accepts reference ``.pth`` weights (via
+the import shims) or our ``.ckpt``.
+
+Baselines (paper Table 1, BASELINE.md): MSE model 28.24 dB / 0.841,
+GAN model 27.16 dB / 0.805. Pass --model gan when evaluating the GAN
+checkpoint. Any other dataset laid out as ``<in> <ref>`` pairs works via
+--pairs/--data-ref (e.g. WR-SR).
+"""
+import argparse
+import json
+import os
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__),
+                                        osp.pardir)))
+
+BASELINES = {  # (PSNR dB, SSIM) — paper Table 1 via BASELINE.md
+    'mse': (28.24, 0.841),
+    'gan': (27.16, 0.805),
+    'none': (None, None),
+}
+
+
+def build_opt(args):
+    from c2matching_tpu.utils import dict_to_nonedict
+    opt = {
+        'name': f'parity_{args.model}', 'suffix': None, 'scale': 4,
+        'model_type': 'RefRestorationModel', 'crop_border': args.scale,
+        'is_train': False, 'dist': False, 'rank': 0, 'world_size': 1,
+        'datasets': {'test_1': {
+            'name': args.name, 'phase': 'test', 'scale': 4,
+            'type': 'RefCUFEDDataset',
+            'dataroot_in': args.data,
+            'dataroot_ref': args.data_ref or args.data,
+            'io_backend': {'type': 'disk'},
+            'bicubic_model': 'PIL',
+            'ann_file': args.pairs,
+            'data_type': 'disk',
+        }},
+        'network_g': {'type': 'RestorationNet', 'ngf': 64,
+                      'n_blocks': 16, 'groups': 8},
+        'network_map': {'type': 'CorrespondenceGenerationArch',
+                        'patch_size': 3, 'stride': 1,
+                        'vgg_layer_list': ['relu1_1', 'relu2_1',
+                                           'relu3_1'],
+                        'vgg_type': 'vgg19'},
+        'network_extractor': {'type': 'ContrasExtractorSep'},
+        'path': {
+            'pretrain_model_g': args.weights_g,
+            'pretrain_model_feature_extractor': args.weights_extractor,
+            'pretrain_model_vgg': args.weights_vgg,
+            'strict_load': True,
+            'root': '.', 'results_root': args.out,
+            'log': args.out, 'visualization': osp.join(args.out, 'vis'),
+        },
+        'val_func': 'BasicSRValidation', 'save_img': args.save_img,
+    }
+    return dict_to_nonedict(opt)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--data', required=True,
+                   help='input image dir (CUFED5 layout)')
+    p.add_argument('--data-ref', default=None,
+                   help='reference image dir (default: --data)')
+    p.add_argument('--pairs', default='./datasets/CUFED5_pairs.txt')
+    p.add_argument('--weights-g', default=None,
+                   help='net_g weights (.pth reference format or .ckpt)')
+    p.add_argument('--weights-extractor', default=None,
+                   help='feature extractor weights (.pth or .ckpt)')
+    p.add_argument('--weights-vgg', default=None,
+                   help='optional torchvision vgg19 .pth for net_map')
+    p.add_argument('--model', choices=('mse', 'gan', 'none'),
+                   default='mse', help='which baseline to compare against')
+    p.add_argument('--name', default='CUFED5')
+    p.add_argument('--scale', type=int, default=4)
+    p.add_argument('--out', default='./results/parity')
+    p.add_argument('--save-img', action='store_true')
+    args = p.parse_args()
+
+    import numpy as np
+    from c2matching_tpu.data import create_dataloader, create_dataset
+    from c2matching_tpu.models import create_model
+    from c2matching_tpu.utils import metrics, get_root_logger
+
+    os.makedirs(args.out, exist_ok=True)
+    get_root_logger()
+
+    opt = build_opt(args)
+    dataset_opt = opt['datasets']['test_1']
+    dataset = create_dataset(dataset_opt)
+    loader = create_dataloader(dataset, dataset_opt, opt)
+    model = create_model(opt)
+
+    psnrs, psnrs_y, ssims_y = [], [], []
+    for val_data in loader:
+        img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
+        sr_img, gt_img = model._validation_images(val_data)
+        if args.save_img:
+            model._save_val_image(sr_img, img_name, args.name, 'parity')
+        crop = opt['crop_border']
+        psnrs.append(metrics.psnr(sr_img, gt_img, crop_border=crop))
+        sr_y = metrics.bgr2ycbcr(sr_img / 255., only_y=True) * 255
+        gt_y = metrics.bgr2ycbcr(gt_img / 255., only_y=True) * 255
+        psnrs_y.append(metrics.psnr(sr_y, gt_y, crop_border=crop))
+        ssims_y.append(metrics.ssim(sr_y, gt_y, crop_border=crop))
+        print(f'{img_name}: PSNR {psnrs[-1]:.4f}  '
+              f'PSNR_Y {psnrs_y[-1]:.4f}  SSIM_Y {ssims_y[-1]:.4f}',
+              flush=True)
+
+    result = {
+        'n_images': len(psnrs),
+        'psnr': float(np.mean(psnrs)),
+        'psnr_y': float(np.mean(psnrs_y)),
+        'ssim_y': float(np.mean(ssims_y)),
+    }
+    base_psnr, base_ssim = BASELINES[args.model]
+    if base_psnr is not None:
+        result['baseline_psnr'] = base_psnr
+        result['baseline_ssim'] = base_ssim
+        result['delta_psnr'] = result['psnr'] - base_psnr
+        result['delta_ssim'] = result['ssim_y'] - base_ssim
+        verdict = ('PARITY' if abs(result['delta_psnr']) <= 0.05
+                   else 'DELTA EXCEEDS 0.05 dB')
+        result['verdict'] = verdict
+    print(json.dumps(result))
+    with open(osp.join(args.out, 'parity.json'), 'w') as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == '__main__':
+    main()
