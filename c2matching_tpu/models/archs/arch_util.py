@@ -28,8 +28,65 @@ def srntt_normal_init(gain=0.02):
     return nn.initializers.normal(stddev=gain)
 
 
+class SpectralNormConv(nn.Module):
+    """3x3 conv with torch-style spectral normalization
+    (torch.nn.utils.spectral_norm; the reference's sn option on
+    ResidualBlockNoBN, arch_util.py:110-136): kernel / sigma_max, with
+    sigma estimated by ``n_power_iterations`` of power iteration on a
+    persisted left-singular vector u. u lives in the 'spectral_stats'
+    collection — pass mutable=['spectral_stats'] in training steps to
+    persist the iteration (torch updates u in train mode only). When
+    ``sn_bias`` the bias is normalized by its exact sigma ||b||_2 (the
+    fixed point torch's (O, 1)-matrix power iteration reaches after one
+    step)."""
+    features: int
+    kernel_init: Callable = kaiming_scaled_init(0.1)
+    n_power_iterations: int = 1
+    sn_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param('kernel', self.kernel_init,
+                            (3, 3, cin, self.features))
+        bias = self.param('bias', nn.initializers.zeros, (self.features,))
+
+        # torch flattens (O, I*kh*kw); any fixed permutation of the
+        # flattened axis leaves the singular values unchanged
+        w_mat = kernel.reshape(-1, self.features).T      # (O, I*9)
+        u_var = self.variable(
+            'spectral_stats', 'u',
+            lambda: _l2_normalize(jax.random.normal(
+                self.make_rng('params') if self.is_initializing()
+                else jax.random.PRNGKey(0), (self.features,))))
+        u = u_var.value
+        for _ in range(self.n_power_iterations):
+            v = _l2_normalize(w_mat.T @ u)
+            u = _l2_normalize(w_mat @ v)
+        sigma = u @ (w_mat @ v)
+        if not self.is_initializing():
+            u_var.value = jax.lax.stop_gradient(u)
+        kernel = kernel / jax.lax.stop_gradient(sigma)
+        if self.sn_bias:
+            bias = bias / jax.lax.stop_gradient(
+                jnp.linalg.norm(bias) + 1e-12)
+
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return out + bias.astype(self.dtype)
+
+
+def _l2_normalize(x, eps=1e-12):
+    return x / (jnp.linalg.norm(x) + eps)
+
+
 class ResidualBlockNoBN(nn.Module):
-    """Conv-ReLU-Conv residual block without BN (arch_util.py:80-136).
+    """Conv-ReLU-Conv residual block without BN (arch_util.py:80-136),
+    including the reference's spectral-norm option (:110-136; unused by
+    shipped configs).
 
     ``kernel_init`` is exposed because the reference's init depends on
     context: standalone blocks use kaiming*0.1, but blocks inside
@@ -39,18 +96,29 @@ class ResidualBlockNoBN(nn.Module):
     nf: int = 64
     res_scale: float = 1.0
     kernel_init: Callable = kaiming_scaled_init(0.1)
+    sn: bool = False
+    n_power_iterations: int = 1
+    sn_bias: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        if self.sn:
+            def conv(name):
+                return SpectralNormConv(
+                    features=self.nf, kernel_init=self.kernel_init,
+                    n_power_iterations=self.n_power_iterations,
+                    sn_bias=self.sn_bias, dtype=self.dtype, name=name)
+        else:
+            def conv(name):
+                return nn.Conv(self.nf, (3, 3), padding=1,
+                               kernel_init=self.kernel_init,
+                               bias_init=nn.initializers.zeros,
+                               dtype=self.dtype, name=name)
         identity = x
-        out = nn.Conv(self.nf, (3, 3), padding=1, kernel_init=self.kernel_init,
-                      bias_init=nn.initializers.zeros, dtype=self.dtype,
-                      name='conv1')(x)
+        out = conv('conv1')(x)
         out = nn.relu(out)
-        out = nn.Conv(self.nf, (3, 3), padding=1, kernel_init=self.kernel_init,
-                      bias_init=nn.initializers.zeros, dtype=self.dtype,
-                      name='conv2')(out)
+        out = conv('conv2')(out)
         return identity + out * self.res_scale
 
 

@@ -332,75 +332,109 @@ def deform_conv(x, offset, weight, bias=None, kernel_size=(3, 3),
 
 
 def deform_psroi_pooling(x, rois, offsets, output_dim, group_size,
-                         pooled_size, spatial_scale=1.0, trans_std=0.1,
-                         no_trans=False):
-    """Deformable position-sensitive ROI pooling
-    (DCNv2/src/cuda/dcn_v2_psroi_pooling_cuda.cu:59-149; Python wrappers
-    dcn_v2.py:256-411). Unused by any C2-Matching workload (detection
-    legacy) — provided for extension-API parity.
+                         pooled_size, spatial_scale=1.0, trans_std=0.0,
+                         no_trans=False, sample_per_part=4,
+                         part_size=None):
+    """Deformable position-sensitive ROI pooling — faithful to
+    DCNv2/src/cuda/dcn_v2_psroi_pooling_cuda.cu:59-148 (Python wrapper
+    dcn_v2.py:256-411): rounded ROI corners ([round(x1)*ss-0.5,
+    (round(x2)+1)*ss-0.5)), bins forced to >=0.1, a sample_per_part x
+    sample_per_part sub-bin grid averaged over the IN-BOUNDS samples
+    (w in [-0.5, W-0.5], clamped to [0, W-1] before floor/ceil bilinear),
+    and per-PART per-CLASS learned offsets (part index floor(p/ps*part),
+    class = ctop // (output_dim/num_classes)). Unused by any C2-Matching
+    workload (detection legacy) — provided for extension-API parity;
+    oracle-tested against a numpy transcription of the CUDA kernel.
 
     Args:
-        x: (H, W, C) feature, C = output_dim * group_size^2
-           (position-sensitive score maps).
+        x: (H, W, C) position-sensitive score maps,
+           C = output_dim * group_size^2, channel flattened in the CUDA
+           order c = (ctop * gs + gh) * gs + gw (:139).
         rois: (N, 5) [batch_idx, x1, y1, x2, y2] in input coords (the
            batch_idx is ignored for this single-image form).
-        offsets: (N, pooled, pooled, 2) normalized part offsets, or None.
+        offsets: (N, num_classes, 2, part_size, part_size) normalized
+           part offsets ((x, y) channel order, :108-109), or None.
     Returns:
         (N, pooled_size, pooled_size, output_dim)
     """
     h, w, _ = x.shape
     ps = pooled_size
+    gs = group_size
+    part = pooled_size if part_size is None else part_size
+    spp = sample_per_part
+    fps = jnp.arange(ps, dtype=jnp.float32)
+
+    # position-sensitive indices, shared by all ROIs
+    gw_of = jnp.clip(jnp.floor(fps * gs / ps).astype(jnp.int32), 0, gs - 1)
+    gh_of = gw_of
+    part_of = jnp.floor(fps / ps * part).astype(jnp.int32)  # (ps,)
+
+    xg = x.reshape(h, w, output_dim, gs, gs)
 
     def pool_one(roi, off):
-        x1, y1, x2, y2 = roi[1], roi[2], roi[3], roi[4]
-        roi_x = x1 * spatial_scale - 0.5
-        roi_y = y1 * spatial_scale - 0.5
-        roi_w = jnp.maximum((x2 - x1) * spatial_scale, 0.1)
-        roi_h = jnp.maximum((y2 - y1) * spatial_scale, 0.1)
+        roi_start_w = jnp.round(roi[1]) * spatial_scale - 0.5
+        roi_start_h = jnp.round(roi[2]) * spatial_scale - 0.5
+        roi_end_w = (jnp.round(roi[3]) + 1.) * spatial_scale - 0.5
+        roi_end_h = (jnp.round(roi[4]) + 1.) * spatial_scale - 0.5
+        roi_w = jnp.maximum(roi_end_w - roi_start_w, 0.1)
+        roi_h = jnp.maximum(roi_end_h - roi_start_h, 0.1)
         bin_w = roi_w / ps
         bin_h = roi_h / ps
+        sub_w = bin_w / spp
+        sub_h = bin_h / spp
 
-        iy = jnp.arange(ps, dtype=jnp.float32)
-        ix = jnp.arange(ps, dtype=jnp.float32)
-        # bin centers (+ learned part offsets scaled by roi size)
-        cy = roi_y + (iy[:, None] + 0.5) * bin_h
-        cx = roi_x + (ix[None, :] + 0.5) * bin_w
-        cy = jnp.broadcast_to(cy, (ps, ps))
-        cx = jnp.broadcast_to(cx, (ps, ps))
-        if not no_trans and off is not None:
-            cy = cy + off[..., 0] * trans_std * roi_h
-            cx = cx + off[..., 1] * trans_std * roi_w
+        if no_trans or off is None:
+            tx = jnp.zeros((output_dim, ps, ps))
+            ty = jnp.zeros((output_dim, ps, ps))
+        else:
+            num_classes = off.shape[0]
+            class_of = (jnp.arange(output_dim)
+                        // max(output_dim // num_classes, 1))
+            # off[class, {x=0, y=1}, part_h, part_w] * trans_std
+            tx_c = off[:, 0][:, part_of][:, :, part_of] * trans_std
+            ty_c = off[:, 1][:, part_of][:, :, part_of] * trans_std
+            tx = tx_c[class_of]                       # (od, ps, ps)
+            ty = ty_c[class_of]
 
-        # position-sensitive channel selection: bin (i, j) reads group
-        # (gi, gj) of its output channel
-        gi = jnp.clip((iy * group_size / ps).astype(jnp.int32), 0,
-                      group_size - 1)
-        gj = jnp.clip((ix * group_size / ps).astype(jnp.int32), 0,
-                      group_size - 1)
+        # sub-bin sample coords: (od, ph, pw, ih, iw)
+        wstart = (fps[None, None, :] * bin_w + roi_start_w
+                  + tx * roi_w)                        # (od, ps, ps)
+        hstart = (fps[None, :, None] * bin_h + roi_start_h
+                  + ty * roi_h)
+        sw = (wstart[..., None, None]
+              + jnp.arange(spp, dtype=jnp.float32)[None, :] * sub_w)
+        sh = (hstart[..., None, None]
+              + jnp.arange(spp, dtype=jnp.float32)[:, None] * sub_h)
+        valid = ((sw >= -0.5) & (sw <= w - 0.5)
+                 & (sh >= -0.5) & (sh <= h - 0.5))
+        swc = jnp.clip(sw, 0., w - 1.)
+        shc = jnp.clip(sh, 0., h - 1.)
 
-        # bilinear sample each bin center from the right score map
-        y0 = jnp.floor(cy)
-        x0 = jnp.floor(cx)
-        fy = cy - y0
-        fx = cx - x0
-        xg = x.reshape(h * w, -1)
+        # floor/ceil bilinear (bilinear_interp, :34-57) on the bin's
+        # position-sensitive score map
+        x1i = jnp.floor(swc).astype(jnp.int32)
+        x2i = jnp.ceil(swc).astype(jnp.int32)
+        y1i = jnp.floor(shc).astype(jnp.int32)
+        y2i = jnp.ceil(shc).astype(jnp.int32)
+        dx = swc - x1i
+        dy = shc - y1i
 
-        def corner(dy, dx):
-            yy = y0.astype(jnp.int32) + dy
-            xx = x0.astype(jnp.int32) + dx
-            wgt = (jnp.where(dy == 0, 1 - fy, fy)
-                   * jnp.where(dx == 0, 1 - fx, fx))
-            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-            flat = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
-            vals = xg[flat.reshape(-1)].reshape(ps, ps, -1)
-            return vals * (wgt * inb)[..., None]
+        od_i = jnp.arange(output_dim)[:, None, None, None, None]
+        gh_i = gh_of[None, :, None, None, None]
+        gw_i = gw_of[None, None, :, None, None]
 
-        sampled = (corner(0, 0) + corner(0, 1) + corner(1, 0)
-                   + corner(1, 1))          # (ps, ps, C)
-        sampled = sampled.reshape(ps, ps, group_size, group_size,
-                                  output_dim)
-        return sampled[jnp.arange(ps)[:, None], jnp.arange(ps)[None, :],
-                       gi[:, None], gj[None, :], :]
+        def at(yy, xx):
+            return xg[yy, xx, od_i, gh_i, gw_i]
+
+        val = ((1 - dx) * (1 - dy) * at(y1i, x1i)
+               + (1 - dx) * dy * at(y2i, x1i)
+               + dx * (1 - dy) * at(y1i, x2i)
+               + dx * dy * at(y2i, x2i))
+        vf = valid.astype(jnp.float32)
+        cnt = vf.sum(axis=(-1, -2))
+        total = (val * vf).sum(axis=(-1, -2))
+        pooled = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1.), 0.)
+        return pooled.transpose(1, 2, 0)               # (ps, ps, od)
 
     if offsets is None:
         return jax.vmap(lambda r: pool_one(r, None))(rois)

@@ -83,3 +83,61 @@ def test_discriminator_output_range():
     # BN stats exist and are mutable in train mode
     _, new_state = d.apply(dvars, x, train=True, mutable=['batch_stats'])
     assert 'batch_stats' in new_state
+
+
+def test_residual_block_spectral_norm_matches_torch():
+    """sn=True option (reference arch_util.py:110-136): one train-mode
+    forward must match torch.nn.utils.spectral_norm given the same
+    weights and the same starting u vectors."""
+    import pytest
+    torch = pytest.importorskip('torch')
+    import torch.nn as tnn
+    from torch.nn.utils import spectral_norm
+    import jax
+    import jax.numpy as jnp
+    from c2matching_tpu.models.archs.arch_util import ResidualBlockNoBN
+
+    nf = 8
+    tblock = tnn.Module()
+    tblock.conv1 = tnn.Conv2d(nf, nf, 3, 1, 1)
+    tblock.conv2 = tnn.Conv2d(nf, nf, 3, 1, 1)
+    torch.manual_seed(0)
+    for c in (tblock.conv1, tblock.conv2):
+        tnn.init.normal_(c.weight, 0, 0.5)
+        tnn.init.normal_(c.bias, 0, 0.5)
+    tblock.conv1 = spectral_norm(spectral_norm(tblock.conv1,
+                                               name='weight'), name='bias')
+    tblock.conv2 = spectral_norm(spectral_norm(tblock.conv2,
+                                               name='weight'), name='bias')
+
+    block = ResidualBlockNoBN(nf=nf, sn=True)
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 6, 6, nf).astype(np.float32)
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    # graft torch weights + torch's u vectors into the flax tree
+    params = jax.device_get(variables['params'])
+    stats = jax.device_get(variables['spectral_stats'])
+    for name, tconv in (('conv1', tblock.conv1), ('conv2', tblock.conv2)):
+        w = tconv.weight_orig.detach().numpy()          # (O, I, kh, kw)
+        params[name]['kernel'] = w.transpose(2, 3, 1, 0)
+        params[name]['bias'] = tconv.bias_orig.detach().numpy()
+        stats[name]['u'] = tconv.weight_u.detach().numpy()
+
+    out, new_vars = block.apply(
+        {'params': params, 'spectral_stats': stats}, jnp.asarray(x),
+        mutable=['spectral_stats'])
+
+    tblock.train()
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+        t = tblock.conv2(torch.relu(tblock.conv1(tx))) + tx
+    np.testing.assert_allclose(
+        np.asarray(out), t.numpy().transpose(0, 2, 3, 1),
+        rtol=1e-4, atol=1e-4)
+
+    # the persisted u must track torch's post-forward u (train mode
+    # advances it one power iteration)
+    np.testing.assert_allclose(
+        np.asarray(new_vars['spectral_stats']['conv1']['u']),
+        tblock.conv1.weight_u.detach().numpy(), rtol=1e-4, atol=1e-5)
