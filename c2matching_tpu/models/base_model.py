@@ -81,8 +81,8 @@ class BaseModel:
     def replicate(self, tree):
         return replicate(tree, self.mesh)
 
-    def shard_batch(self, batch):
-        return shard_batch(batch, self.mesh)
+    def shard_batch(self, batch, spatial=False):
+        return shard_batch(batch, self.mesh, spatial=spatial)
 
     def print_network(self, module, variables=None):
         name = module.__class__.__name__
@@ -201,10 +201,21 @@ class BaseModel:
     # ------------------------------------------------------------ validation
     def validation(self, dataloader, current_iter, tb_logger,
                    save_img=False):
-        """Dispatch mirroring base_model.py:44-57; distributed eval is
-        single-process in the reference (sr_model.py:160-162), kept here."""
-        self.nondist_validation(dataloader, current_iter, tb_logger,
-                                save_img)
+        """Dispatch mirroring base_model.py:44-57. The reference never
+        distributes eval (sr_model.py:160-162 falls back to the
+        single-process loop); here multi-process runs shard the val set
+        by jax.process_index() and aggregate metrics."""
+        if jax.process_count() > 1:
+            self.dist_validation(dataloader, current_iter, tb_logger,
+                                 save_img)
+        else:
+            self.nondist_validation(dataloader, current_iter, tb_logger,
+                                    save_img)
 
     def nondist_validation(self, *args, **kwargs):
         raise NotImplementedError
+
+    def dist_validation(self, dataloader, current_iter, tb_logger,
+                        save_img=False):
+        self.nondist_validation(dataloader, current_iter, tb_logger,
+                                save_img)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..utils import ProgressBar, metrics, tensor2img
+from ..utils import metrics, tensor2img
 from ..utils.registry import MODEL_REGISTRY
 from . import networks
 from .base_model import make_adam
@@ -449,7 +449,13 @@ class RefRestorationModel(SRModel):
                 arrays['img_ref'] = pad_to(arrays['img_ref'], 4 * b_lr)
                 arrays['img_in_up'] = pad_to(arrays['img_in_up'], 4 * b_lr)
                 self._eval_crop = (4 * h, 4 * w)
-        self.batch = self.shard_batch(arrays)
+        # val_spatial_shard: batch-1 eval on a multi-device mesh splits
+        # each image into horizontal bands across devices (XLA inserts
+        # the halos/collectives) instead of replicating the whole
+        # computation on every device
+        spatial = bool(not self.is_train
+                       and self.opt.get('val_spatial_shard'))
+        self.batch = self.shard_batch(arrays, spatial=spatial)
         self.meta = {k: batch[k] for k in ('padding', 'original_size',
                                            'lq_path') if k in batch}
 
@@ -488,43 +494,21 @@ class RefRestorationModel(SRModel):
                                     self.batch['img_in_lq'], pre_offset,
                                     ref_feat)
 
-    def nondist_validation(self, dataloader, current_iter, tb_logger,
-                           save_img=False):
-        pbar = ProgressBar(len(dataloader))
-        avg_psnr = avg_psnr_y = avg_ssim_y = 0.
-        dataset_name = dataloader.dataset.opt['name']
-        count = 0
-        for val_data in dataloader:
-            img_name = osp.splitext(osp.basename(val_data['lq_path'][0]))[0]
-            sr_img, gt_img = self._validation_images(val_data)
-            if save_img:
-                self._save_val_image(sr_img, img_name, dataset_name,
-                                     current_iter)
-            crop = self.opt['crop_border']
-            psnr = metrics.psnr(sr_img, gt_img, crop_border=crop)
-            sr_y = metrics.bgr2ycbcr(sr_img / 255., only_y=True)
-            gt_y = metrics.bgr2ycbcr(gt_img / 255., only_y=True)
-            psnr_y = metrics.psnr(sr_y * 255, gt_y * 255, crop_border=crop)
-            ssim_y = metrics.ssim(sr_y * 255, gt_y * 255, crop_border=crop)
-            avg_psnr += psnr
-            avg_psnr_y += psnr_y
-            avg_ssim_y += ssim_y
-            count += 1
-            if not self.is_train:
-                logger.info(f'# img {img_name} # PSNR: {psnr:.4e} '
-                            f'# PSNR_Y: {psnr_y:.4e} '
-                            f'# SSIM_Y: {ssim_y:.4e}.')
-            pbar.update(f'Test {img_name}')
-        avg_psnr /= max(count, 1)
-        avg_psnr_y /= max(count, 1)
-        avg_ssim_y /= max(count, 1)
-        logger.info(f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e} '
-                    f'# PSNR_Y: {avg_psnr_y:.4e} '
-                    f'# SSIM_Y: {avg_ssim_y:.4e}.')
-        if tb_logger:
-            tb_logger.add_scalar('psnr', avg_psnr, current_iter)
-            tb_logger.add_scalar('psnr_y', avg_psnr_y, current_iter)
-            tb_logger.add_scalar('ssim_y', avg_ssim_y, current_iter)
+    # validation = SRModel._validation_loop with the 3-metric protocol
+    # (ref_restoration_model.py:295-370) and per-image logging
+    _VAL_METRIC_LABELS = {'psnr': 'PSNR', 'psnr_y': 'PSNR_Y',
+                          'ssim_y': 'SSIM_Y'}
+    _VAL_LOG_PER_IMAGE = True
+
+    def _compute_val_metrics(self, sr_img, gt_img):
+        crop = self.opt['crop_border']
+        sr_y = metrics.bgr2ycbcr(sr_img / 255., only_y=True) * 255
+        gt_y = metrics.bgr2ycbcr(gt_img / 255., only_y=True) * 255
+        return {
+            'psnr': metrics.psnr(sr_img, gt_img, crop_border=crop),
+            'psnr_y': metrics.psnr(sr_y, gt_y, crop_border=crop),
+            'ssim_y': metrics.ssim(sr_y, gt_y, crop_border=crop),
+        }
 
     def _validation_images(self, val_data):
         self.feed_data(val_data)

@@ -160,28 +160,71 @@ class SRModel(BaseModel):
                 sr_img = sr_img[:orig[0], :orig[1]]
         return sr_img, gt_img
 
-    def nondist_validation(self, dataloader, current_iter, tb_logger,
-                           save_img=False):
+    # metric-name -> log label, in log order (sr_model.py:185-208;
+    # RefRestorationModel extends with PSNR_Y/SSIM_Y)
+    _VAL_METRIC_LABELS = {'psnr': 'PSNR'}
+    _VAL_LOG_PER_IMAGE = False  # reference SRModel logs only the summary
+
+    def _compute_val_metrics(self, sr_img, gt_img):
+        return {'psnr': metrics.psnr(sr_img, gt_img,
+                                     crop_border=self.opt['crop_border'])}
+
+    def _validation_loop(self, dataloader, current_iter, tb_logger,
+                         save_img, rank=0, world=1):
+        """Shared validation loop; with world > 1 each process handles
+        every world-th image and metric sums are all-reduced across
+        processes (exceeds the reference, which always evaluates the
+        full set on every rank)."""
+        from ..parallel.mesh import allreduce_sum_across_processes
+
         pbar = ProgressBar(len(dataloader))
-        avg_psnr = 0.
         dataset_name = dataloader.dataset.opt['name']
+        names = list(self._VAL_METRIC_LABELS)
+        sums = {k: 0. for k in names}
         count = 0
-        for val_data in dataloader:
+        for idx, val_data in enumerate(dataloader):
+            if idx % world != rank:
+                continue
             img_name = osp.splitext(
                 osp.basename(val_data['lq_path'][0]))[0]
             sr_img, gt_img = self._validation_images(val_data)
             if save_img:
                 self._save_val_image(sr_img, img_name, dataset_name,
                                      current_iter)
-            avg_psnr += metrics.psnr(sr_img, gt_img,
-                                     crop_border=self.opt['crop_border'])
+            vals = self._compute_val_metrics(sr_img, gt_img)
+            for k in names:
+                sums[k] += vals[k]
             count += 1
+            if not self.is_train and self._VAL_LOG_PER_IMAGE:
+                logger.info(f'# img {img_name} ' + ' '.join(
+                    f'# {self._VAL_METRIC_LABELS[k]}: {vals[k]:.4e}'
+                    for k in names) + '.')
             pbar.update(f'Test {img_name}')
-        avg_psnr /= max(count, 1)
-        logger.info(
-            f'# Validation {dataset_name} # PSNR: {avg_psnr:.4e}.')
+        if world > 1:
+            vec = allreduce_sum_across_processes(
+                [sums[k] for k in names] + [count])
+            sums = dict(zip(names, vec[:-1]))
+            count = vec[-1]
+        avgs = {k: sums[k] / max(count, 1) for k in names}
+        logger.info(f'# Validation {dataset_name} ' + ' '.join(
+            f'# {self._VAL_METRIC_LABELS[k]}: {avgs[k]:.4e}'
+            for k in names) + '.')
         if tb_logger:
-            tb_logger.add_scalar('psnr', avg_psnr, current_iter)
+            for k in names:
+                tb_logger.add_scalar(k, avgs[k], current_iter)
+        return avgs
+
+    def nondist_validation(self, dataloader, current_iter, tb_logger,
+                           save_img=False):
+        return self._validation_loop(dataloader, current_iter, tb_logger,
+                                     save_img)
+
+    def dist_validation(self, dataloader, current_iter, tb_logger,
+                        save_img=False):
+        import jax as _jax
+        return self._validation_loop(
+            dataloader, current_iter, tb_logger, save_img,
+            rank=_jax.process_index(), world=_jax.process_count())
 
     def _save_val_image(self, sr_img, img_name, dataset_name, current_iter):
         if self.opt['is_train']:
