@@ -107,10 +107,27 @@ class BaseModel:
 
     def save_network(self, variables, net_label, current_iter):
         """net_<label>_<iter>.ckpt + net_<label>_latest.ckpt
-        (base_model.py:185-206; -1 => latest only)."""
+        (base_model.py:185-206; -1 => latest only).
+
+        ``path.checkpoint_backend: orbax`` (opt-in YAML flag) switches
+        network checkpoints to orbax AsyncCheckpointer directories
+        (net_<label>_<iter>.orbax) — the save runs in the background so
+        long stage-3 runs do not stall on checkpoint IO. msgpack stays
+        the default format."""
         if self.rank != 0:
             return
         os.makedirs(self._model_dir(), exist_ok=True)
+        if self.opt['path'].get('checkpoint_backend') == 'orbax':
+            tree = jax.tree.map(np.asarray, jax.device_get(variables))
+            import orbax.checkpoint as ocp
+            ckptr = self._orbax_checkpointer()
+            targets = [f'{net_label}_latest.orbax']
+            if current_iter != -1:
+                targets.insert(0, f'{net_label}_{current_iter}.orbax')
+            for name in targets:
+                ckptr.save(osp.abspath(osp.join(self._model_dir(), name)),
+                           args=ocp.args.StandardSave(tree), force=True)
+            return
         data = serialization.msgpack_serialize(
             jax.tree.map(np.asarray, jax.device_get(variables)))
         if current_iter != -1:
@@ -121,6 +138,21 @@ class BaseModel:
         latest = osp.join(self._model_dir(), f'{net_label}_latest.ckpt')
         with open(latest, 'wb') as f:
             f.write(data)
+
+    def _orbax_checkpointer(self):
+        if not hasattr(self, '_orbax_ckptr'):
+            import atexit
+            import orbax.checkpoint as ocp
+            self._orbax_ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+            atexit.register(self._orbax_ckptr.wait_until_finished)
+        return self._orbax_ckptr
+
+    def finalize_checkpoints(self):
+        """Block until any in-flight async (orbax) checkpoint saves have
+        committed. No-op for the msgpack backend."""
+        if hasattr(self, '_orbax_ckptr'):
+            self._orbax_ckptr.wait_until_finished()
 
     def load_network(self, path, kind):
         """Load weights from .ckpt (ours) or .pth (reference format;
@@ -138,6 +170,11 @@ class BaseModel:
             if kind.startswith('vgg'):
                 return pth_import.import_torchvision_vgg(path, kind)
             raise ValueError(f'unknown .pth kind {kind}')
+        if path.endswith('.orbax') or osp.isdir(path):
+            import orbax.checkpoint as ocp
+            self.finalize_checkpoints()
+            with ocp.Checkpointer(ocp.StandardCheckpointHandler()) as ck:
+                return ck.restore(osp.abspath(path))
         with open(path, 'rb') as f:
             return serialization.msgpack_restore(f.read())
 
