@@ -50,6 +50,11 @@ class DynAgg(nn.Module):
     channels: int
     deformable_groups: int = 8
     dtype: Any = jnp.float32
+    # dtype for the deformable GATHER + weight contraction only (the
+    # byte-bound hot path of eval; see ops/deform_conv.py). 'bfloat16'
+    # halves the gathered bytes at ~0.4% relative feature rounding;
+    # sampling coordinates stay f32 either way. None = ref_feat.dtype.
+    gather_dtype: Any = None
 
     @nn.compact
     def __call__(self, ref_feat, offset_feat, pre_offset):
@@ -76,8 +81,12 @@ class DynAgg(nn.Module):
         o2 = out[..., g * k:2 * g * k]
         mask_raw = out[..., 2 * g * k:]
 
-        offset = jnp.concatenate([o1, o2], axis=-1).reshape(b, h, w, g, k, 2)
-        mask = nn.sigmoid(mask_raw).reshape(b, h, w, g, k)
+        # offsets are COORDINATES: always f32, even under a bf16 compute
+        # dtype (bf16 coords on a 512-wide map are off by up to ~2px).
+        offset = (jnp.concatenate([o1, o2], axis=-1)
+                  .astype(jnp.float32).reshape(b, h, w, g, k, 2))
+        mask = nn.sigmoid(mask_raw.astype(jnp.float32)).reshape(b, h, w,
+                                                                g, k)
 
         # (B, 9, H, W, 2[x,y]) -> (B, H, W, 1, 9, 2[y,x]), broadcast over
         # groups (the torch repeat along dim1, dcn_v2.py:236-242).
@@ -86,13 +95,16 @@ class DynAgg(nn.Module):
         # emitter's window bounds==strides check (bounds 2, stride 1).
         pre_t = pre_offset.transpose(0, 2, 3, 1, 4)
         pre = jnp.stack((pre_t[..., 1], pre_t[..., 0]), axis=-1)
-        offset = offset + pre[:, :, :, None, :, :].astype(offset.dtype)
+        offset = offset + pre[:, :, :, None, :, :].astype(jnp.float32)
 
         weight = self.param(
             'weight', _dcn_weight_init(self.channels), (k, self.channels,
                                                         self.channels))
         bias = self.param('bias', nn.initializers.zeros, (self.channels,))
-        out = modulated_deform_conv(ref_feat, offset, mask, weight, bias)
+        ref_in = ref_feat
+        if self.gather_dtype is not None:
+            ref_in = ref_feat.astype(jnp.dtype(self.gather_dtype))
+        out = modulated_deform_conv(ref_in, offset, mask, weight, bias)
         return out.astype(ref_feat.dtype)
 
 
@@ -131,6 +143,7 @@ class DynamicAggregationRestoration(nn.Module):
     groups: int = 8
     stage_barriers: bool = True
     dtype: Any = jnp.float32
+    gather_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -150,6 +163,7 @@ class DynamicAggregationRestoration(nn.Module):
             swapped = lrelu(DynAgg(channels=ref_ch,
                                    deformable_groups=self.groups,
                                    dtype=self.dtype,
+                                   gather_dtype=self.gather_dtype,
                                    name=f'{scale_name}_dyn_agg')(
                                        ref, off, pre_offset[ref_key]))
             h = jnp.concatenate([x, swapped], axis=-1)
@@ -192,6 +206,7 @@ class RestorationNet(nn.Module):
     n_blocks: int = 16
     groups: int = 8
     dtype: Any = jnp.float32
+    gather_dtype: Any = None
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -210,7 +225,8 @@ class RestorationNet(nn.Module):
                                         name='content_extractor')(x)
         restored = DynamicAggregationRestoration(
             ngf=self.ngf, n_blocks=self.n_blocks, groups=self.groups,
-            dtype=self.dtype, name='dyn_agg_restore')(content_feat,
+            dtype=self.dtype, gather_dtype=self.gather_dtype,
+            name='dyn_agg_restore')(content_feat,
                                                       pre_offset,
                                                       img_ref_feat)
         return restored + base

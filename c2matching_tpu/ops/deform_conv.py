@@ -183,33 +183,48 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     group_scan=True scans over deformable groups (small per-step gather
     operand — right for large images). group_scan=False does one gather
     over all groups (right for small images, where the whole-image
-    operand already fits the gather fast path)."""
+    operand already fits the gather fast path).
+
+    Precision: the op computes in ``x.dtype`` (f32 default). Passing x
+    as bfloat16 halves the gathered bytes — the gather is byte-bound at
+    ~28 GB/s of gathered output on TPU regardless of row width or index
+    count, and dominates the op — and runs the corner/weight matmuls on
+    the bf16 MXU path. Sampling COORDINATES (offsets, bilinear factors,
+    masks) always stay float32; only the gathered feature values and the
+    weight contraction round to bf16 (~0.4%% relative). Accumulation is
+    f32 and the result is returned as f32."""
     h, w, c = x.shape
     ho, wo, g, k, _ = offset.shape
     cg = c // g
     p = ho * wo
     co = weight.shape[-1]
     h1, w1 = h + 1, w + 1
+    dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
     # corner packing: packed[y*(W+1)+x, g, :] = [c00|c01|c10|c11] of
     # group g at (y-1, x-1) in original coords, zero ring at the border.
-    # HIGHEST precision: a 0/1 kernel contraction must move f32 values
-    # losslessly (default TPU dot truncates inputs to bf16).
-    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)))
+    # HIGHEST precision: a 0/1 kernel contraction must move the values
+    # losslessly (default TPU dot truncates inputs to bf16; with bf16
+    # values a 0/1 contraction is itself exact).
+    xp = jnp.pad(x.astype(dt), ((1, 1), (1, 1), (0, 0)))
     packed = jax.lax.conv_general_dilated(
-        xp[None], _pack_corner_kernel(g, cg), window_strides=(1, 1),
+        xp[None], _pack_corner_kernel(g, cg).astype(dt),
+        window_strides=(1, 1),
         padding='VALID', dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
         precision=jax.lax.Precision.HIGHEST)[0]
     packed = packed.reshape(h1 * w1, g, 4 * cg)
 
     base_y, base_x, ky, kx = _base_grid(ho, wo, 3, 3, (1, 1), (1, 1),
                                         (1, 1))
-    offt = offset.reshape(p, g * k * 2).T.reshape(g, k, 2, p)
+    # sampling coordinates are ALWAYS f32: bf16 coords on a 512-wide
+    # feature map would be off by up to ~2px.
+    offt = (offset.astype(jnp.float32)
+            .reshape(p, g * k * 2).T.reshape(g, k, 2, p))
     off_y = offt[:, :, 0, :]
     off_x = offt[:, :, 1, :]
     sy = base_y[None, None, :] + ky[None, :, None] + off_y   # (G, K, P)
     sx = base_x[None, None, :] + kx[None, :, None] + off_x
-    mt = mask.reshape(p, g * k).T.reshape(g, k, p)
+    mt = mask.astype(jnp.float32).reshape(p, g * k).T.reshape(g, k, p)
 
     valid = (sy > -1.) & (sy < h) & (sx > -1.) & (sx < w)
     y0 = jnp.floor(sy)
@@ -233,7 +248,7 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
 
     # per-group weight with rows replicated per corner:
     # w4[g, (k*4+corner)*Cg + j] = weight[k, g*Cg + j]
-    w4 = weight.reshape(k, g, cg, co).transpose(1, 0, 2, 3)
+    w4 = weight.astype(dt).reshape(k, g, cg, co).transpose(1, 0, 2, 3)
     w4 = jnp.broadcast_to(w4[:, :, None, :, :], (g, k, 4, cg, co))
     w4 = w4.reshape(g, k * 4 * cg, co)
 
@@ -245,7 +260,7 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
         rows = rows.reshape(p, k * 4 * cg)            # [k][corner][cg]
         rows = checkpoint_name(rows, 'dcn_rows')
         factor = jnp.dot(ws_g.T, expand,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32).astype(dt)
         acc = acc + jnp.dot(rows * factor, w4_g,
                             preferred_element_type=jnp.float32)
         return acc, None
@@ -264,7 +279,7 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     # rows are [g][p][k][4Cg]; process per group with plain matmuls
     rows = checkpoint_name(rows.reshape(g, p, k * 4 * cg), 'dcn_rows')
     factor = jnp.einsum('gep,ec->gpc', ws, expand,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32).astype(dt)
     out = jnp.einsum('gpc,gco->po', rows * factor, w4,
                      preferred_element_type=jnp.float32)
     return out.reshape(ho, wo, co)

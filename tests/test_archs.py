@@ -141,3 +141,32 @@ def test_residual_block_spectral_norm_matches_torch():
     np.testing.assert_allclose(
         np.asarray(new_vars['spectral_stats']['conv1']['u']),
         tblock.conv1.weight_u.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_restoration_gather_dtype_bf16_close():
+    """gather_dtype='bfloat16' (serving option) must track the f32 model
+    within bf16 rounding on the same params, and params must be
+    identical trees (the option changes compute only)."""
+    rng = jax.random.PRNGKey(0)
+    lr = 8
+    gt = lr * 4
+    lr_img = jax.random.uniform(rng, (1, lr, lr, 3))
+    pre_offset = {
+        k: jax.random.uniform(jax.random.PRNGKey(i),
+                              (1, 9, gt // f, gt // f, 2),
+                              minval=-3., maxval=3.)
+        for i, (k, f) in enumerate(
+            [('relu3_1', 4), ('relu2_1', 2), ('relu1_1', 1)])}
+    ref_feat = {
+        k: jax.random.normal(jax.random.PRNGKey(10 + i),
+                             (1, gt // f, gt // f, c))
+        for i, (k, f, c) in enumerate(
+            [('relu3_1', 4, 256), ('relu2_1', 2, 128),
+             ('relu1_1', 1, 64)])}
+    net32 = RestorationNet(n_blocks=2)
+    netbf = RestorationNet(n_blocks=2, gather_dtype='bfloat16')
+    params = net32.init(rng, lr_img, pre_offset, ref_feat)
+    a = net32.apply(params, lr_img, pre_offset, ref_feat)
+    b = netbf.apply(params, lr_img, pre_offset, ref_feat)
+    scale = float(jnp.max(jnp.abs(a)))
+    assert float(jnp.max(jnp.abs(a - b))) < 0.03 * scale

@@ -154,3 +154,27 @@ def test_fast_path_matches_reference():
         jnp.asarray(weight), jnp.asarray(bias))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_bf16_input_close_to_f32():
+    """Passing x as bfloat16 (the byte-bound-gather serving option) must
+    stay within bf16 rounding of the f32 path: values round to bf16 but
+    sampling coordinates stay f32."""
+    rng = np.random.RandomState(11)
+    x, offset, mask, weight, bias = _random_case(rng, h=9, w=7, c=8, g=4,
+                                                 cout=6)
+    # large flow-like offsets: coords must NOT lose precision
+    offset = offset + rng.randint(-6, 6, size=(1, 1, 1, 1, 9, 2)).astype(
+        np.float32)
+    a = modulated_deform_conv(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+        jnp.asarray(weight), jnp.asarray(bias))
+    b = modulated_deform_conv(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(offset),
+        jnp.asarray(mask), jnp.asarray(weight), jnp.asarray(bias))
+    assert b.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(a)))
+    err = float(jnp.max(jnp.abs(a - b)))
+    assert err < 0.03 * scale, (err, scale)
+    # and it must NOT be bit-identical (proves the bf16 path was taken)
+    assert err > 0.0
