@@ -39,6 +39,18 @@ Layout (TPU-first, deliberately different from the reference's NCHW):
     weight: (K, C, Cout)          K = kh*kw taps, row-major (ky, kx)
     bias:   (Cout,)
 
+Measured gather cost model (v5e, round 2): the row gather is ROW-RATE
+bound at ~155M rows/s, not padded-byte bound — bitcasting the operand to
+int8 so rows occupy exactly 128 lanes (f32: 512B padded -> 128B) moves
+f32 only 95 -> 84 ms at relu1 eval scale and bf16 not at all (80 -> 80).
+bf16's gain over f32 comes from the smaller operand, not output bytes.
+With rows = G*K*P irreducible under exact DCN semantics (every
+(group, tap, pixel) has an independent coordinate) and the 4 bilinear
+corners already packed into one row each, ~80 ms is the XLA-gather floor
+at relu1 scale; the only formulation measured below it is the candidate-
+block windowed op (ops/dcn_window.py, ~64 ms ceiling) which OOMs at full
+relu1 scale. Do not re-try lane packing.
+
 Sampling semantics pinned to the CUDA kernel
 (dcn_v2_im2col_cuda.cu:166-189): sample point
     y = ho*stride - pad + ky*dilation + offset_y
