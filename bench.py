@@ -12,10 +12,14 @@ serving configuration:
 - bf16 deformable-conv gathers (``gather_dtype='bfloat16'``): the gather
   is the byte-bound hot path, halving its bytes is +25% throughput at
   ~0.4% relative feature rounding (tests/test_archs.py pins closeness
-  to the f32 model). Everything else stays f32.
+  to the f32 model). Everything else stays f32;
+- bf16 correlation operands in the patch matcher
+  (``match_dtype='bfloat16'``): single-pass MXU matmul, f32
+  accumulation/normalization (tests/test_patch_match.py pins agreement).
 
 Measured sweep on a v5e chip (round 2): batch 1 f32 6.99 img/s, batch 1
-bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62, batch 16 bf16 9.77.
+bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62 (9.80 with bf16 match),
+batch 16 bf16 9.77.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -58,7 +62,7 @@ def main():
         return jax.random.uniform(jax.random.PRNGKey(k), shape)
 
     ext = ContrasExtractorSep()
-    cg = CorrespondenceGenerationArch()
+    cg = CorrespondenceGenerationArch(match_dtype='bfloat16')
     net = RestorationNet(gather_dtype='bfloat16')
 
     # init at small spatial size; conv param shapes are size-independent
@@ -98,7 +102,7 @@ def main():
     ips = batch / dt
     print(json.dumps({
         'metric': 'images/sec/chip at 4x CUFED5-scale RefSR (512x336 HR), '
-                  'batch 8 serving config (bf16 DCN gathers)',
+                  'batch 8 serving config (bf16 DCN gathers + bf16 match)',
         'value': round(ips, 3),
         'unit': 'images/sec',
         'vs_baseline': round(ips / V100_BASELINE_IPS, 2),

@@ -37,6 +37,11 @@ class CorrespondenceGenerationArch(nn.Module):
     vgg_layer_list: Sequence[str] = ('relu3_1', 'relu2_1', 'relu1_1')
     vgg_type: str = 'vgg19'
     dtype: Any = jnp.float32
+    # dtype of the correlation-matmul operands only (serving knob, like
+    # RestorationNet.gather_dtype): 'bfloat16' runs the match matmul
+    # single-pass on the MXU. Accumulation/normalization stay f32; only
+    # near-tie matches can flip. None = descriptor dtype (f32).
+    match_dtype: Any = None
 
     @nn.compact
     def __call__(self, dense_features, img_ref_hr):
@@ -44,7 +49,8 @@ class CorrespondenceGenerationArch(nn.Module):
         feat_ref = dense_features['dense_features2']
 
         max_idx, _max_val = batched_patch_match(
-            feat_in, feat_ref, patch_size=self.patch_size)
+            feat_in, feat_ref, patch_size=self.patch_size,
+            compute_dtype=self.match_dtype)
         pre_offset = batched_pre_offsets(max_idx,
                                          patch_size=self.patch_size)
 

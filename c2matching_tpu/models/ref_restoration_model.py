@@ -390,10 +390,24 @@ class RefRestorationModel(SRModel):
             # same second forward by retaining one autograd graph).
             # Exception: the gathered DCN rows are saved (the gathers are
             # the expensive part of the forward; everything else is
-            # cheap to recompute).
-            remat_fwd = jax.checkpoint(
-                fwd, policy=jax.checkpoint_policies.save_only_these_names(
-                    'dcn_rows'))
+            # cheap to recompute). ``train.remat_policy`` overrides:
+            # 'dcn_rows' (default), 'dots' (also save matmul/conv
+            # outputs — more HBM), 'none' (no remat at all — fastest
+            # when it fits).
+            remat_policy = (self.opt['train'].get('remat_policy')
+                            or 'dcn_rows')
+            if remat_policy == 'none':
+                remat_fwd = fwd
+            elif remat_policy == 'dots':
+                remat_fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+            else:
+                remat_fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        'dcn_rows'))
             output, g_vjp = jax.vjp(remat_fwd, g_params)
             fake = jax.lax.stop_gradient(output)
 

@@ -39,10 +39,12 @@ Layout (TPU-first, deliberately different from the reference's NCHW):
     weight: (K, C, Cout)          K = kh*kw taps, row-major (ky, kx)
     bias:   (Cout,)
 
-Measured gather cost model (v5e, round 2): the row gather is ROW-RATE
-bound at ~155M rows/s, not padded-byte bound — bitcasting the operand to
-int8 so rows occupy exactly 128 lanes (f32: 512B padded -> 128B) moves
-f32 only 95 -> 84 ms at relu1 eval scale and bf16 not at all (80 -> 80).
+Measured gather cost model (v5e, round 2; timings below are net of the
+~36 ms tunnel fetch round-trip this environment adds to every forced
+measurement): the row gather is ROW-RATE bound at ~280M rows/s, not
+padded-byte bound — bitcasting the operand to int8 so rows occupy
+exactly 128 lanes (f32: 512B padded -> 128B) moves f32 only ~59 -> ~48
+ms at relu1 eval scale (12.4M rows) and bf16 not at all (~44 -> ~44).
 bf16's gain over f32 comes from the smaller operand, not output bytes.
 With rows = G*K*P irreducible under exact DCN semantics (every
 (group, tap, pixel) has an independent coordinate) and the 4 bilinear

@@ -74,8 +74,9 @@ def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
     """argmax over ref rows of q @ r.T without materializing the scores.
 
     Args:
-        q: (Nq, D) float32 query descriptors.
-        r: (Nr, D) float32 ref descriptors (normalized by caller).
+        q: (Nq, D) query descriptors (f32, or bf16 for the single-pass
+           MXU path — accumulation is always f32).
+        r: (Nr, D) ref descriptors, same dtype (normalized by caller).
     Returns:
         (max_idx int32 (Nq,), max_val float32 (Nq,)).
     """

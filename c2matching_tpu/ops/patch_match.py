@@ -58,8 +58,11 @@ def unfold_descriptors(feat, patch_size=3):
 _PALLAS_MIN_ROWS = 4096
 
 
-@functools.partial(jax.jit, static_argnames=('patch_size', 'use_pallas'))
-def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto'):
+@functools.partial(jax.jit,
+                   static_argnames=('patch_size', 'use_pallas',
+                                    'compute_dtype'))
+def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
+                compute_dtype=None):
     """Dense patch matching for a single image pair.
 
     Args:
@@ -69,6 +72,13 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto'):
         use_pallas: True | False | 'auto' — blocked Pallas kernel with
             online argmax vs one XLA matmul + argmax. 'auto' picks Pallas
             for large images on TPU.
+        compute_dtype: None (descriptor dtype, f32 in practice) or e.g.
+            'bfloat16' — dtype of the correlation matmul OPERANDS (the
+            serving speed knob: the f32 matmul runs multi-pass on the
+            MXU; bf16 is single-pass and halves descriptor streaming).
+            Normalization, accumulation and the final value stay f32;
+            only near-tie argmax decisions can flip (~0.4% descriptor
+            rounding).
 
     Returns:
         (max_idx, max_val): both (H-p+1, W-p+1). ``max_idx`` is the flat
@@ -87,6 +97,12 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto'):
     r_norm = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True)) + 1e-5
     r = r / r_norm
 
+    # q_norm from the full-precision descriptors, before any cast
+    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1)) + 1e-5
+    if compute_dtype is not None:
+        q = q.astype(jnp.dtype(compute_dtype))
+        r = r.astype(jnp.dtype(compute_dtype))
+
     if use_pallas == 'auto':
         use_pallas = (hh * ww >= _PALLAS_MIN_ROWS
                       and jax.default_backend() != 'cpu')
@@ -99,14 +115,14 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto'):
         max_idx = jnp.argmax(corr, axis=-1)
         max_val = jnp.max(corr, axis=-1)
 
-    q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1)) + 1e-5
     max_val = max_val / q_norm
 
     return (max_idx.reshape(hh, ww).astype(jnp.int32),
             max_val.reshape(hh, ww))
 
 
-def batched_patch_match(feat_in, feat_ref, patch_size=3):
+def batched_patch_match(feat_in, feat_ref, patch_size=3,
+                        compute_dtype=None):
     """vmap of ``patch_match`` over the batch axis.
 
     Replaces the reference's per-image Python loop
@@ -114,5 +130,5 @@ def batched_patch_match(feat_in, feat_ref, patch_size=3):
     feat_in/feat_ref: (B, H, W, C).
     """
     return jax.vmap(
-        functools.partial(patch_match, patch_size=patch_size))(feat_in,
-                                                               feat_ref)
+        functools.partial(patch_match, patch_size=patch_size,
+                          compute_dtype=compute_dtype))(feat_in, feat_ref)

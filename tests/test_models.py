@@ -313,6 +313,20 @@ def test_stage3_gan_fused_step_matches_unfused(synth_root, tmp_path):
         np.testing.assert_allclose(float(d_logs[k]), float(logs2[k]),
                                    rtol=1e-4)
 
+    # the remat_policy override ('none' / 'dots') changes only what the
+    # backward recomputes, never the math
+    for policy in ('none', 'dots'):
+        model.opt['train']['remat_policy'] = policy
+        step_p = model._build_gan_step()
+        g3, og3, d3, od3, out3, logs3 = step_p(
+            cp(g0), cp(og0), cp(d0), cp(od0), model.vars_extractor,
+            model.vars_map, model.batch, model.vars_perceptual, rng,
+            do_g=True)
+        for la, lb in zip(jax.tree.leaves(g2), jax.tree.leaves(g3)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-5, atol=2e-6,
+                                       err_msg=f'remat={policy}')
+
 
 def dict_to_nd(d):
     from c2matching_tpu.utils import dict_to_nonedict

@@ -75,3 +75,23 @@ def test_batched_patch_match_shapes():
         i1, v1 = patch_match(jnp.asarray(feat_in[b]),
                              jnp.asarray(feat_ref[b]))
         np.testing.assert_array_equal(np.asarray(idx[b]), np.asarray(i1))
+
+
+def test_patch_match_bf16_compute_tracks_f32():
+    """compute_dtype='bfloat16' (serving knob) runs the correlation
+    matmul in bf16: indices must agree except at genuine near-ties, and
+    values stay close (normalization/accumulation remain f32)."""
+    rng = np.random.RandomState(3)
+    feat_in = rng.randn(14, 14, 16).astype(np.float32)
+    feat_ref = rng.randn(14, 14, 16).astype(np.float32)
+    i32, v32 = patch_match(jnp.asarray(feat_in), jnp.asarray(feat_ref))
+    i16, v16 = patch_match(jnp.asarray(feat_in), jnp.asarray(feat_ref),
+                           compute_dtype='bfloat16')
+    agree = np.mean(np.asarray(i32) == np.asarray(i16))
+    assert agree >= 0.95, agree
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                               rtol=2e-2, atol=2e-2)
+    # where indices agree, the winning score itself is bf16-close
+    same = np.asarray(i32) == np.asarray(i16)
+    np.testing.assert_allclose(np.asarray(v16)[same],
+                               np.asarray(v32)[same], rtol=1e-2)
