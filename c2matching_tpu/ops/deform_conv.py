@@ -46,6 +46,10 @@ padded-byte bound — bitcasting the operand to int8 so rows occupy
 exactly 128 lanes (f32: 512B padded -> 128B) moves f32 only ~59 -> ~48
 ms at relu1 eval scale (12.4M rows) and bf16 not at all (~44 -> ~44).
 bf16's gain over f32 comes from the smaller operand, not output bytes.
+(Wiring that int8 view into the real op was tried and REVERTED: the
+isolated microbench sums the int8 rows directly, but the production op
+must bitcast the gathered rows back — the (P*K, width, 4) minor-dim-4
+relayout costs far more than the gather saves, 97 -> 137 ms at relu1.)
 With rows = G*K*P irreducible under exact DCN semantics (every
 (group, tap, pixel) has an independent coordinate) and the 4 bilinear
 corners already packed into one row each, ~80 ms is the XLA-gather floor
