@@ -18,8 +18,9 @@ serving configuration:
   accumulation/normalization (tests/test_patch_match.py pins agreement).
 
 Measured sweep on a v5e chip (round 2): batch 1 f32 6.99 img/s, batch 1
-bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62 (9.80 with bf16 match),
-batch 16 bf16 9.77.
+bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62 (9.83 with bf16 match),
+batch 16 bf16 9.77 (10.01 with bf16 match — not used here: its compile
+alone flirts with the bench time budget).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
