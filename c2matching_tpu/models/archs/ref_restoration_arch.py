@@ -85,6 +85,12 @@ class DynAgg(nn.Module):
         # dtype (bf16 coords on a 512-wide map are off by up to ~2px).
         offset = (jnp.concatenate([o1, o2], axis=-1)
                   .astype(jnp.float32).reshape(b, h, w, g, k, 2))
+        # exploding-offset telemetry: the reference warns when the mean
+        # |learned residual| exceeds 100 (dcn_v2.py:247-250). Sown here;
+        # the train steps read it via mutable=['intermediates'] and the
+        # MessageLogger emits the warning at print time (host side).
+        self.sow('intermediates', 'offset_absmean',
+                 jnp.mean(jnp.abs(offset)))
         mask = nn.sigmoid(mask_raw.astype(jnp.float32)).reshape(b, h, w,
                                                                 g, k)
 

@@ -143,8 +143,8 @@ class RefRestorationModel(SRModel):
 
         @jax.jit
         def forward(g_params, img_in_lq, pre_offset, img_ref_feat):
-            return self.net_g.apply({'params': g_params}, img_in_lq,
-                                    pre_offset, img_ref_feat)
+            return self._g_forward_with_stats(g_params, img_in_lq,
+                                              pre_offset, img_ref_feat)
 
         return forward
 
@@ -307,26 +307,48 @@ class RefRestorationModel(SRModel):
             logs['l_grad_penalty'] = l_gp
         return l_d_total, (logs, new_state['batch_stats'])
 
+    def _g_forward_with_stats(self, g_params, img_in_lq, pre_offset,
+                              ref_feat):
+        """G forward that also surfaces the sown DynAgg offset telemetry
+        (the reference's exploding-offset warning source,
+        dcn_v2.py:247-250)."""
+        output, aux = self.net_g.apply(
+            {'params': g_params}, img_in_lq, pre_offset, ref_feat,
+            mutable=['intermediates'])
+        return output, self._offset_stats(aux['intermediates'])
+
+    @staticmethod
+    def _offset_stats(intermediates):
+        """{'offset_absmean_<scale>': scalar} from sown intermediates."""
+        agg = intermediates.get('dyn_agg_restore', {})
+        out = {}
+        for scale in ('small', 'medium', 'large'):
+            node = agg.get(f'{scale}_dyn_agg', {})
+            v = node.get('offset_absmean')
+            if v is not None:
+                out[f'offset_absmean_{scale}'] = (
+                    v[0] if isinstance(v, (tuple, list)) else v)
+        return out
+
     def _build_g_pretrain_step(self):
 
         def loss_fn(g_params, batch, pre_offset, ref_feat):
-            output = self.net_g.apply({'params': g_params},
-                                      batch['img_in_lq'], pre_offset,
-                                      ref_feat)
-            return self.cri_pix(output, batch['img_in']), output
+            output, stats = self._g_forward_with_stats(
+                g_params, batch['img_in_lq'], pre_offset, ref_feat)
+            return self.cri_pix(output, batch['img_in']), (output, stats)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(g_params, opt_state, extractor_vars, map_vars, batch):
             pre_offset, ref_feat = self._match_graph(
                 extractor_vars, map_vars, batch['img_in_up'],
                 batch['img_ref'])
-            (l_pix, output), grads = jax.value_and_grad(
+            (l_pix, (output, stats)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(g_params, batch, pre_offset,
                                        ref_feat)
             updates, opt_state = self.tx_g.update(grads, opt_state,
                                                   g_params)
             g_params = optax.apply_updates(g_params, updates)
-            return g_params, opt_state, output, {'l_pix': l_pix}
+            return g_params, opt_state, output, {'l_pix': l_pix, **stats}
 
         return step
 
@@ -381,8 +403,8 @@ class RefRestorationModel(SRModel):
                 batch['img_ref'])
 
             def fwd(p):
-                return self.net_g.apply({'params': p}, batch['img_in_lq'],
-                                        pre_offset, ref_feat)
+                return self._g_forward_with_stats(
+                    p, batch['img_in_lq'], pre_offset, ref_feat)
 
             # remat the G forward: holding its residuals across the D
             # grad-of-grad update OOMs a 16G chip at batch 9/160px; the
@@ -408,10 +430,10 @@ class RefRestorationModel(SRModel):
                     fwd,
                     policy=jax.checkpoint_policies.save_only_these_names(
                         'dcn_rows'))
-            output, g_vjp = jax.vjp(remat_fwd, g_params)
+            (output, stats), g_vjp = jax.vjp(remat_fwd, g_params)
             fake = jax.lax.stop_gradient(output)
 
-            logs = {}
+            logs = dict(stats)
             if with_d:
                 d_vars, opt_d, d_logs = self._d_update(
                     d_vars, opt_d, batch['img_in'], fake, rng)
@@ -424,7 +446,8 @@ class RefRestorationModel(SRModel):
 
                 (l_g, g_logs), dout = jax.value_and_grad(
                     out_loss, has_aux=True)(output)
-                grads_g = g_vjp(dout)[0]
+                grads_g = g_vjp(
+                    (dout, jax.tree.map(jnp.zeros_like, stats)))[0]
                 updates, opt_g = self.tx_g.update(grads_g, opt_g, g_params)
                 g_params = optax.apply_updates(g_params, updates)
                 logs.update(g_logs)
@@ -504,9 +527,13 @@ class RefRestorationModel(SRModel):
         pre_offset, ref_feat = self._match(
             self.vars_extractor, self.vars_map, self.batch['img_in_up'],
             self.batch['img_ref'])
-        self.output = self._forward(self.vars_g['params'],
-                                    self.batch['img_in_lq'], pre_offset,
-                                    ref_feat)
+        self.output, stats = self._forward(self.vars_g['params'],
+                                           self.batch['img_in_lq'],
+                                           pre_offset, ref_feat)
+        # exploding-offset detection in eval forwards too (the reference
+        # warns in every DCN forward, dcn_v2.py:247-250); fetched here,
+        # after the output fetch, so it adds no extra sync point
+        self._offset_warn_stats = stats
 
     # validation = SRModel._validation_loop with the 3-metric protocol
     # (ref_restoration_model.py:295-370) and per-image logging
@@ -528,6 +555,10 @@ class RefRestorationModel(SRModel):
         self.feed_data(val_data)
         self.test()
         output = np.asarray(jax.device_get(self.output))
+        for k, v in getattr(self, '_offset_warn_stats', {}).items():
+            v = float(v)
+            if v > 100:
+                logger.warning(f'Offset mean is {v}, larger than 100.')
         if self._eval_crop is not None:
             output = output[:, :self._eval_crop[0], :self._eval_crop[1]]
         sr_img = tensor2img(output)

@@ -97,4 +97,9 @@ class MessageLogger:
             message += f'{k}: {v:.4e} '
             if self.tb_logger and self.use_tb_logger:
                 self.tb_logger.add_scalar(k, v, current_iter)
+            if k.startswith('offset_absmean') and v > 100:
+                # exploding-offset detection, reference format
+                # (DCNv2/dcn_v2.py:247-250)
+                self.logger.warning(
+                    f'Offset mean is {v}, larger than 100.')
         self.logger.info(message)

@@ -197,6 +197,11 @@ def test_stage3_mse_train_step(synth_root, tmp_path):
     assert np.isfinite(model.log_dict['l_g_pix'])
     out = np.asarray(model.output)
     assert out.shape == (2, 64, 64, 3)
+    # exploding-offset telemetry (reference dcn_v2.py:247-250): the
+    # learned-residual absmean is logged per scale; zero-init offset
+    # convs -> exactly 0 at step 1 (the update happens after the fwd)
+    for scale in ('small', 'medium', 'large'):
+        assert float(model.log_dict[f'offset_absmean_{scale}']) == 0.0
 
 
 def test_stage3_train_step_bf16_gather_tracks_f32(synth_root, tmp_path):
@@ -285,7 +290,7 @@ def test_stage3_gan_fused_step_matches_unfused(synth_root, tmp_path):
     pre, rf = model._match(model.vars_extractor, model.vars_map,
                            model.batch['img_in_up'],
                            model.batch['img_ref'])
-    out = model._forward(g0, model.batch['img_in_lq'], pre, rf)
+    out, _ = model._forward(g0, model.batch['img_in_lq'], pre, rf)
     d1, od1, d_logs = model._d_step(cp(d0), cp(od0),
                                     model.batch['img_in'], out, rng)
     g1, og1, out1, g_logs = model._g_step(cp(g0), cp(og0), model.batch,
