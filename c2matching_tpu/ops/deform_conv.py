@@ -334,6 +334,11 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None,
     # Within an image, scan over deformable groups when the packed
     # operand is large (eval shapes) and do one all-groups gather when
     # it is small (training shapes).
+    # threshold re-checked round 2 with bf16 operands: isolated,
+    # relu2-bf16 (44.5 MB) is ~2 ms faster un-scanned, but END-TO-END
+    # the un-scanned variant regresses the serving bench 9.83 -> 9.49
+    # img/s (the larger per-step working set hurts overlap inside the
+    # batch image-scan) — keep 40 MB
     packed_bytes = (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
     group_scan = packed_bytes > 40 * 1024 * 1024
     if b == 1:
