@@ -555,7 +555,7 @@ class RefRestorationModel(SRModel):
         self.feed_data(val_data)
         self.test()
         output = np.asarray(jax.device_get(self.output))
-        for k, v in getattr(self, '_offset_warn_stats', {}).items():
+        for v in getattr(self, '_offset_warn_stats', {}).values():
             v = float(v)
             if v > 100:
                 logger.warning(f'Offset mean is {v}, larger than 100.')

@@ -2,7 +2,6 @@
 test_multihost.py). Env contract: JAX_COORDINATOR_ADDRESS,
 JAX_NUM_PROCESSES, JAX_PROCESS_ID set by the parent;
 XLA_FLAGS forces 2 virtual CPU devices per process."""
-import sys
 
 import jax
 

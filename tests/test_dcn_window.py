@@ -1,8 +1,6 @@
 """Windowed DCN (ops/dcn_window.py) vs the exact production op."""
 import numpy as np
-import jax
 import jax.numpy as jnp
-import pytest
 
 from c2matching_tpu.ops import modulated_deform_conv
 from c2matching_tpu.ops.dcn_window import (modulated_deform_conv_windowed,

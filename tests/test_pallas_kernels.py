@@ -1,6 +1,5 @@
 """Pallas kernel tests (interpret mode on CPU) vs the XLA formulations."""
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 
