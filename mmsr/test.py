@@ -6,6 +6,16 @@
 Parity target: mmsr/test.py (:13-66): builds one loader per sorted
 ``test_*`` dataset block and runs model.validation on each.
 """
+import os
+
+# platform override BEFORE any backend init: some environments pin a
+# default jax platform at interpreter start (sitecustomize), where the
+# JAX_PLATFORMS env var alone is too late; jax.config still works here.
+# e.g. C2MATCHING_PLATFORM=cpu runs this CLI on CPU (tests/CI).
+if os.environ.get('C2MATCHING_PLATFORM'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['C2MATCHING_PLATFORM'])
+
 import argparse
 import logging
 import os.path as osp

@@ -7,6 +7,16 @@ Parity target: mmsr/train.py (:20-189). The --launcher flag is accepted
 for compatibility but multi-host execution is environment-driven
 (jax.distributed); see c2matching_tpu.parallel.
 """
+import os
+
+# platform override BEFORE any backend init: some environments pin a
+# default jax platform at interpreter start (sitecustomize), where the
+# JAX_PLATFORMS env var alone is too late; jax.config still works here.
+# e.g. C2MATCHING_PLATFORM=cpu runs this CLI on CPU (tests/CI).
+if os.environ.get('C2MATCHING_PLATFORM'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['C2MATCHING_PLATFORM'])
+
 import argparse
 import logging
 import math
