@@ -31,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--f32', action='store_true',
                     help='disable the bf16-gather knob (pure f32 step)')
+    ap.add_argument('--pretrain', action='store_true',
+                    help='time the MSE pretrain step instead of the GAN '
+                         'iteration')
     ap.add_argument('--batch', type=int, default=9)
     ap.add_argument('--gt-size', type=int, default=160)
     ap.add_argument('--iters', type=int, default=5)
@@ -40,7 +43,8 @@ def main():
     from c2matching_tpu.utils.options import parse
 
     opt = parse('options/train/debug_stage3_synth.yml', is_train=True)
-    opt['train']['net_g_pretrain_steps'] = 0   # time the GAN phase
+    opt['train']['net_g_pretrain_steps'] = (
+        10 ** 9 if args.pretrain else 0)
     if not args.f32:
         opt['network_g']['gather_dtype'] = 'bfloat16'
 
@@ -59,23 +63,25 @@ def main():
     model = create_model(opt)
     n = args.iters
     batches = [mk_batch(100 + i) for i in range(n + 2)]
+    loss_key = 'l_pix' if args.pretrain else 'l_g_pix'
     for i in range(2):                        # compile + settle donation
         model.feed_data(batches[n + i])
         model.optimize_parameters(i + 1)
-        float(model.log_dict['l_g_pix'])
+        float(model.log_dict[loss_key])
 
     ts = []
     for i in range(n):
         model.feed_data(batches[i])
         t0 = time.time()
         model.optimize_parameters(i + 3)
-        float(model.log_dict['l_g_pix'])      # force through the tunnel
+        float(model.log_dict[loss_key])       # force through the tunnel
         ts.append(time.time() - t0)
 
     dt = statistics.median(ts)
     print(json.dumps({
-        'metric': f'ms/GAN-iter, stage-3 batch {b} / {gt}px GT '
-                  f'({"f32" if args.f32 else "bf16 gathers"})',
+        'metric': (f'ms/{"pretrain" if args.pretrain else "GAN"}-iter, '
+                   f'stage-3 batch {b} / {gt}px GT '
+                   f'({"f32" if args.f32 else "bf16 gathers"})'),
         'value': round(dt * 1e3, 1),
         'unit': 'ms',
         'samples_per_sec': round(b / dt, 1),
