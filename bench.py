@@ -7,20 +7,27 @@ representative CUFED5 eval shape (HR 512x336 -> LR 128x84; CUFED5 images
 are ~500x332, padded to static buckets in eval) on one chip, in the
 serving configuration:
 
-- the whole pipeline is ONE jit (match + restore fused);
-- batch 8 (throughput serving; batch-1 latency is ~132 ms/image);
+- the whole pipeline is ONE jit (match + restore fused), with the three
+  param trees passed as jit ARGUMENTS (device buffers), not closed-over
+  constants — matching real serving dataflow so XLA cannot constant-fold
+  weight-dependent work out of the timed path;
+- batch 16 (throughput serving; batch-1 latency is ~132 ms/image);
 - bf16 deformable-conv gathers (``gather_dtype='bfloat16'``): the gather
   is the byte-bound hot path, halving its bytes is +25% throughput at
   ~0.4% relative feature rounding (tests/test_archs.py pins closeness
   to the f32 model). Everything else stays f32;
 - bf16 correlation operands in the patch matcher
   (``match_dtype='bfloat16'``): single-pass MXU matmul, f32
-  accumulation/normalization (tests/test_patch_match.py pins agreement).
+  accumulation/normalization (tests/test_patch_match.py pins agreement);
+- a persistent XLA compilation cache (<repo>/.xla_cache): the batch-16
+  compile is minutes cold through the remote-compile tunnel but
+  seconds warm, which is what makes the fastest config shippable
+  inside the bench time budget.
 
-Measured sweep on a v5e chip (round 2): batch 1 f32 6.99 img/s, batch 1
-bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62 (9.83 with bf16 match),
-batch 16 bf16 9.77 (10.01 with bf16 match — not used here: its compile
-alone flirts with the bench time budget).
+Measured sweep on a v5e chip (round 2, params closed over): batch 1 f32
+6.99 img/s, batch 1 bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62
+(9.83 with bf16 match), batch 16 bf16 9.77 (10.01 with bf16 match).
+Round 3 ships batch 16 + bf16 match with params as arguments.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -40,6 +47,7 @@ inference measures ~0.7-0.8 img/s at CUFED5 size (chunked conv2d matching
 here explicitly, not a repo-published number.
 """
 import json
+import os
 import statistics
 import time
 
@@ -48,6 +56,15 @@ V100_BASELINE_IPS = 0.75  # estimated reference V100 throughput (see above)
 
 def main():
     import jax
+    # persistent compile cache: cold batch-16 compile is minutes via the
+    # remote-compile tunnel, warm is seconds. Cache dir lives in-repo
+    # (gitignored) so repeat runs on this machine hit it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.xla_cache')
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
     import jax.numpy as jnp
     from c2matching_tpu.models.archs import (ContrasExtractorSep,
                                              CorrespondenceGenerationArch,
@@ -55,7 +72,7 @@ def main():
 
     gt_h, gt_w = 512, 336   # CUFED5-scale, padded to x16 static bucket
     lr_h, lr_w = gt_h // 4, gt_w // 4
-    batch = 8
+    batch = 16
 
     rng = jax.random.PRNGKey(0)
 
@@ -77,7 +94,7 @@ def main():
     g_params = jax.jit(net.init)(rng, lr_s, po_s, rf_s)
 
     @jax.jit
-    def full(up, ref, lr):
+    def full(ext_params, cg_params, g_params, up, ref, lr):
         po, rf = cg.apply(cg_params, ext.apply(ext_params, up, ref), ref)
         return net.apply(g_params, lr, po, rf)
 
@@ -91,19 +108,20 @@ def main():
            for i in range(n_iters + 1)]
 
     # warmup / compile
-    fetch(full(*ins[-1]))
+    fetch(full(ext_params, cg_params, g_params, *ins[-1]))
 
     times = []
     for i in range(n_iters):
         t0 = time.time()
-        fetch(full(*ins[i]))
+        fetch(full(ext_params, cg_params, g_params, *ins[i]))
         times.append(time.time() - t0)
 
     dt = statistics.median(times)
     ips = batch / dt
     print(json.dumps({
         'metric': 'images/sec/chip at 4x CUFED5-scale RefSR (512x336 HR), '
-                  'batch 8 serving config (bf16 DCN gathers + bf16 match)',
+                  'batch 16 serving config (bf16 DCN gathers + bf16 match, '
+                  'params as device buffers)',
         'value': round(ips, 3),
         'unit': 'images/sec',
         'vs_baseline': round(ips / V100_BASELINE_IPS, 2),

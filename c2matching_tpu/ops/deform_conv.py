@@ -207,10 +207,12 @@ def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
     as bfloat16 halves the gathered bytes — the gather is byte-bound at
     ~28 GB/s of gathered output on TPU regardless of row width or index
     count, and dominates the op — and runs the corner/weight matmuls on
-    the bf16 MXU path. Sampling COORDINATES (offsets, bilinear factors,
-    masks) always stay float32; only the gathered feature values and the
-    weight contraction round to bf16 (~0.4%% relative). Accumulation is
-    f32 and the result is returned as f32."""
+    the bf16 MXU path. Sampling COORDINATES stay float32 throughout, and
+    the bilinear factors / masks are computed in f32 from those f32
+    coordinates; in bf16 mode the factors are then rounded to bf16 for
+    the row multiply, so the gathered feature values, the factor
+    multiply, and the weight contraction all round to bf16 (~0.4%%
+    relative). Accumulation is f32 and the result is returned as f32."""
     h, w, c = x.shape
     ho, wo, g, k, _ = offset.shape
     cg = c // g

@@ -46,7 +46,9 @@ def parse(opt_path, is_train=True):
     for key, path in list(opt['path'].items()):
         if path and key != 'strict_load' and isinstance(path, str):
             opt['path'][key] = osp.expanduser(path)
-    opt['path']['root'] = _repo_root()
+    # C2MATCHING_ROOT redirects the experiments/results output tree
+    # (tests point it at a tmp dir so runs don't pollute the checkout).
+    opt['path']['root'] = os.environ.get('C2MATCHING_ROOT') or _repo_root()
 
     if is_train:
         experiments_root = osp.join(opt['path']['root'], 'experiments',

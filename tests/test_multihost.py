@@ -20,7 +20,9 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(300)
+# no @pytest.mark.timeout: pytest-timeout is not installed here (the mark
+# would be a silent no-op); the subprocess communicate(timeout=240) below
+# is the real bound.
 def test_two_process_distributed_init_and_collectives():
     repo = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
     child = osp.join(repo, 'tests', '_multihost_child.py')

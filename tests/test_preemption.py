@@ -23,8 +23,7 @@ def synth_root(tmp_path_factory):
     return str(root)
 
 
-@pytest.mark.timeout(420)
-def test_sigterm_saves_resumable_state(synth_root, tmp_path):
+def test_sigterm_saves_resumable_state(synth_root, tmp_path, monkeypatch):
     name = 'preempt_t'
     src = open(osp.join(REPO, 'options', 'train',
                         'debug_stage1_synth.yml')).read()
@@ -41,7 +40,9 @@ def test_sigterm_saves_resumable_state(synth_root, tmp_path):
     cfg_path = str(tmp_path / 'preempt.yml')
     open(cfg_path, 'w').write(cfg)
 
+    out_root = str(tmp_path / 'out_root')   # experiments tree -> tmp
     env = dict(os.environ)
+    env['C2MATCHING_ROOT'] = out_root
     env['XLA_FLAGS'] = '--xla_force_host_platform_device_count=1'
     env['JAX_PLATFORMS'] = 'cpu'
     env['C2MATCHING_PLATFORM'] = 'cpu'   # env var alone is too late here
@@ -78,7 +79,7 @@ def test_sigterm_saves_resumable_state(synth_root, tmp_path):
     assert 'checkpointing before exit' in log
     assert 'preemption' in log
 
-    state_dir = osp.join(REPO, 'experiments', name, 'training_state')
+    state_dir = osp.join(out_root, 'experiments', name, 'training_state')
     states = sorted(os.listdir(state_dir))
     assert states, 'no training state written on SIGTERM'
 
@@ -86,6 +87,7 @@ def test_sigterm_saves_resumable_state(synth_root, tmp_path):
     import numpy as np
     from c2matching_tpu.models import create_model
     from c2matching_tpu.utils.options import parse
+    monkeypatch.setenv('C2MATCHING_ROOT', out_root)
     opt = parse(cfg_path, is_train=True)
     state_path = osp.join(state_dir, states[-1])
     opt['path']['resume_state'] = state_path
