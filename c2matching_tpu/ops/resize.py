@@ -22,9 +22,14 @@ def _axis_lerp(x, axis, factor):
     """
     n = x.shape[axis]
     coords = (jnp.arange(n * factor, dtype=jnp.float32) + 0.5) / factor - 0.5
+    # clamp the SOURCE COORDINATE (not just the index): torch clamps
+    # out-of-range half-pixel centers to the border sample, so the
+    # fraction must be recomputed after clamping (coords < 0 -> x[0]
+    # exactly, not a lerp toward x[1]).
+    coords = jnp.clip(coords, 0.0, float(n - 1))
     i0f = jnp.floor(coords)
     frac = coords - i0f
-    i0 = jnp.clip(i0f.astype(jnp.int32), 0, n - 1)
+    i0 = i0f.astype(jnp.int32)
     i1 = jnp.clip(i0 + 1, 0, n - 1)
     x0 = jnp.take(x, i0, axis=axis)
     x1 = jnp.take(x, i1, axis=axis)

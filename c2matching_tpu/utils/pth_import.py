@@ -110,6 +110,23 @@ def _stack_res_blocks(state, prefix, n_blocks):
     }}}
 
 
+def import_corres_generation(path, vgg_type='vgg19'):
+    """CorrespondenceGenerationArch params from a reference net_map-style
+    state dict. The reference CG module's only parameters are its frozen
+    VGG (corres_generation_arch.py:26-27, keys ``vgg.vgg_net.{name}.*``);
+    the matching part is parameter-free on both sides."""
+    state = _load_state_dict(path)
+    params = {}
+    for name in NAMES[vgg_type]:
+        wkey = f'vgg.vgg_net.{name}.weight'
+        if wkey in state:
+            params[name] = {
+                'kernel': _conv_kernel(state[wkey]),
+                'bias': state[f'vgg.vgg_net.{name}.bias'],
+            }
+    return {'params': {'vgg': params}}
+
+
 def import_restoration_net(path, n_blocks=16):
     """RestorationNet params from a reference net_g .pth
     (ref_restoration_arch.py module names)."""
