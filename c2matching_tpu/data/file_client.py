@@ -46,16 +46,20 @@ class CephBackend(BaseStorageBackend):
 
 class LmdbBackend(BaseStorageBackend):
     """lmdb key-value backend (per-key environments,
-    file_client.py:103-167)."""
+    file_client.py:103-167). Without the lmdb package, falls back to the
+    in-repo API-compatible store (utils/lmdb_shim.py) — same code path,
+    shim storage engine; real lmdb databases still require the package."""
 
     def __init__(self, db_paths, client_keys='default', readonly=True,
                  lock=False, readahead=False, **kwargs):
         try:
             import lmdb
-        except ImportError as e:
-            raise ImportError(
-                'lmdb backend requires the lmdb package, which is not '
-                'available in this environment.') from e
+        except ImportError:
+            import logging
+            from ..utils import lmdb_shim as lmdb
+            logging.getLogger('base').info(
+                'lmdb package not available; using the in-repo fallback '
+                'key-value store (c2matching_tpu/utils/lmdb_shim.py)')
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, str):

@@ -76,10 +76,10 @@ def paired_paths_from_folder(folders, keys, filename_tmpl='{}'):
 
 
 def paired_paths_from_lmdb(folders, keys):
-    """lmdb-backed path pairs (mmsr/data/util.py:84-150). The lmdb python
-    package is not available in this environment; the meta_info.txt
-    key-matching contract is kept so the backend can be enabled when it
-    is."""
+    """lmdb-backed path pairs (mmsr/data/util.py:84-150): keys come from
+    each database's meta_info.txt and must match between input and ref.
+    Works identically for real lmdb databases and the in-repo fallback
+    store (utils/lmdb_shim.py) — the pairing reads only meta_info.txt."""
     assert len(folders) == 2 and len(keys) == 2
     input_folder, ref_folder = folders
     input_key, ref_key = keys

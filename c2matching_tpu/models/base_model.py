@@ -243,11 +243,10 @@ class BaseModel:
         single-process loop); here multi-process runs shard the val set
         by jax.process_index() and aggregate metrics."""
         if jax.process_count() > 1:
-            self.dist_validation(dataloader, current_iter, tb_logger,
-                                 save_img)
-        else:
-            self.nondist_validation(dataloader, current_iter, tb_logger,
-                                    save_img)
+            return self.dist_validation(dataloader, current_iter, tb_logger,
+                                        save_img)
+        return self.nondist_validation(dataloader, current_iter, tb_logger,
+                                       save_img)
 
     def nondist_validation(self, *args, **kwargs):
         raise NotImplementedError

@@ -3,8 +3,10 @@
 
 Equivalent of the reference's mmsr/scripts/create_cufed_lmdb.py: builds
 input/ref lmdbs in three variants each (full, lq, up) with meta_info.txt,
-using the PIL-bicubic 160->40->160 chain. Requires the ``lmdb`` package
-(not bundled in every environment; the disk backend needs no packing).
+using the PIL-bicubic 160->40->160 chain. Uses the ``lmdb`` package when
+installed; otherwise packs into the in-repo API-compatible fallback
+store (c2matching_tpu/utils/lmdb_shim.py), which LmdbBackend reads via
+the same fallback. The disk backend needs no packing at all.
 
 Usage:
   python scripts/create_cufed_lmdb.py --in_dir datasets/CUFED/input \
@@ -37,8 +39,10 @@ def pack(folder, out_root, name, gt_size, scale):
     try:
         import lmdb
     except ImportError:
-        raise SystemExit('the lmdb package is required for packing; the '
-                         'disk io_backend works without it')
+        from c2matching_tpu.utils import lmdb_shim as lmdb
+        print('lmdb package not available; packing into the in-repo '
+              'fallback store format (readable by LmdbBackend via the '
+              'same fallback)')
 
     files = sorted(f for f in os.listdir(folder)
                    if f.lower().endswith(('.png', '.jpg', '.jpeg')))
