@@ -19,9 +19,16 @@ path (97 ms f32 / 86 ms bf16):
     worth the compile-time landmines (a lax.cond over both paths at this
     scale did not finish compiling in 15 min).
 
-Kept as a documented exploration with a green test suite: the
-formulation and its cost measurements are the map for any future
-revisit (e.g. if Mosaic gains sub-128 lane slicing or a native gather).
+ROUND-3 CLOSURE — the row-chunked variant
+(``modulated_deform_conv_windowed_chunked``, the one remaining idea for
+the full-scale OOM) was built, verified correct, and measured on the
+same v5e at relu1 eval scale: 175 ms (8 chunks) / 187 ms (4 chunks) vs
+83 ms production (both including the ~36 ms tunnel fetch) — 2x SLOWER.
+Sequentializing the Pallas dispatches and rebuilding the x-packed
+operand per chunk erode far past the documented ~64-75 ms whole-image
+optimum, which itself was only ~15% under production. This file is
+CLOSED as a production candidate; it stays as a tested, documented
+record so the formulation is not re-explored blind.
 
 Motivation and structure (still valid): C2-Matching's DynAgg offsets
 (ops/flow.py:match_to_pre_offsets) make the pre-offset of kernel tap k
@@ -174,9 +181,11 @@ def _window_contract_xla(rows, ty, txm, weight, blk, win, nby, nbx):
 
 
 def _mdc_window_single(x, origins, ry, rx, mm, weight, blk, win,
-                       use_pallas):
+                       use_pallas, out_hw=None):
     h, w, _ = x.shape
-    nby, nbx = h // blk, w // blk
+    if out_hw is None:
+        out_hw = (h, w)
+    nby, nbx = out_hw[0] // blk, out_hw[1] // blk
     rows = _window_gather(x, origins, win)
     if use_pallas:
         from .pallas.dcn_window_kernel import window_contract_pallas
@@ -196,6 +205,63 @@ def window_applicable(x_shape, offset_shape, blk, win, kernel_size=(3, 3),
             and k == 9 and ho == h and wo == w and blk >= 1 and win >= 4
             and h % blk == 0 and w % blk == 0
             and h + 2 * MARGIN >= win and w + 2 * MARGIN >= win)
+
+
+@functools.partial(jax.jit, static_argnames=('blk', 'win', 'use_pallas',
+                                             'row_chunks'))
+def modulated_deform_conv_windowed_chunked(x, offset, mask, weight,
+                                           bias=None, blk=4, win=8,
+                                           use_pallas=True, row_chunks=8):
+    """Windowed fast path with the output rows processed in
+    ``row_chunks`` sequential chunks to bound HBM (the full-scale OOM is
+    the whole-image window buffer + pre-expanded tent fields; each chunk
+    holds 1/row_chunks of them). The gather still reads the full image
+    (windows near a chunk boundary reach outside the chunk's rows).
+
+    MEASUREMENT-ORIENTED: assumes the windowed formulation is valid for
+    the given offsets (the DynAgg structure — block-constant integer
+    flow + small residual); unlike ``modulated_deform_conv_windowed``
+    there is NO runtime fallback. Chunk-local output rows are made
+    global by adding the chunk's row origin to the y-offsets (the prep's
+    base grid is position-linear, so sy comes out in global
+    coordinates).
+
+    MEASURED 2x SLOWER than production at relu1 eval scale (module
+    docstring, round-3 closure) — kept only as the record of that
+    experiment.
+    """
+    b, h, w, c = x.shape
+    assert h % row_chunks == 0 and (h // row_chunks) % blk == 0
+    rows_per = h // row_chunks
+
+    def one(xi, oi, mi):
+        outs = []
+        for ci in range(row_chunks):
+            r0 = ci * rows_per
+            oc = jax.lax.dynamic_slice_in_dim(oi, r0, rows_per, axis=0)
+            # globalize: sy = base_y(local) + ky + (dy + r0)
+            oc = oc.at[..., 0].add(jnp.float32(r0))
+            mc = jax.lax.dynamic_slice_in_dim(mi, r0, rows_per, axis=0)
+            # _window_prep's base grid is position-linear and its clip
+            # bounds come from x's (global) shape, so globalized offsets
+            # give global sampling coords with a chunk-sized output grid
+            origins, ry, rx, mm, _ok = _window_prep(xi, oc, mc, blk, win)
+            outs.append(_mdc_window_single(xi, origins, ry, rx, mm,
+                                           weight, blk=blk, win=win,
+                                           use_pallas=use_pallas,
+                                           out_hw=(rows_per, w)))
+        return jnp.concatenate(outs, axis=0)
+
+    if b == 1:
+        out = one(x[0], offset[0], mask[0])[None]
+    else:
+        def step(_, args):
+            return None, one(*args)
+
+        _, out = jax.lax.scan(step, None, (x, offset, mask))
+    if bias is not None:
+        out = out + bias
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=('blk', 'win', 'use_pallas',

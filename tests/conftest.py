@@ -12,8 +12,16 @@ import os
 
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+    flags = (flags + ' --xla_force_host_platform_device_count=8').strip()
+# 8 virtual device threads share one physical core here: XLA CPU's
+# default collective rendezvous deadline (warn 20 s / abort 40 s) can
+# fire spuriously when the host is loaded (observed: the fused GAN step's
+# all-gather aborting with 5/8 threads arrived). Generous deadlines keep
+# the collective tests load-tolerant; real deadlocks still abort.
+if 'collective_call_terminate_timeout' not in flags:
+    flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=120'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=900')
+os.environ['XLA_FLAGS'] = flags
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402

@@ -102,3 +102,23 @@ def test_window_applicable():
                                  4, 8)
     assert not window_applicable((1, 16, 12, 8), (1, 8, 6, 4, 9, 2),
                                  4, 8, stride=(2, 2))
+
+
+def test_windowed_chunked_matches_exact():
+    """Row-chunked windowed path (HBM-bounded variant) == exact op on
+    DynAgg-structured offsets."""
+    from c2matching_tpu.ops.dcn_window import \
+        modulated_deform_conv_windowed_chunked
+    rng = np.random.RandomState(3)
+    args = _c2_shaped_case(rng, h=32, w=12, c=8, g=4, blk=4)
+    a = modulated_deform_conv(*args)
+    b = modulated_deform_conv_windowed_chunked(*args, blk=4, win=8,
+                                               use_pallas=False,
+                                               row_chunks=4)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                               atol=1e-4)
+    c = modulated_deform_conv_windowed_chunked(*args, blk=4, win=8,
+                                               use_pallas=True,
+                                               row_chunks=2)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-4,
+                               atol=1e-4)
