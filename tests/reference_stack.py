@@ -169,6 +169,7 @@ def load_reference_archs():
                 'mmsr.models.archs.vgg_arch',
                 'mmsr.models.archs.contras_extractor_arch',
                 'mmsr.models.archs.corres_generation_arch',
+                'mmsr.models.archs.discriminator_arch',
                 'mmsr.models.archs.DCNv2.dcn_v2',
                 'mmsr.models.archs.ref_restoration_arch']
     saved = {}
@@ -186,6 +187,7 @@ def load_reference_archs():
         'vgg_arch': loaded['mmsr.models.archs.vgg_arch'],
         'contras': loaded['mmsr.models.archs.contras_extractor_arch'],
         'corres': loaded['mmsr.models.archs.corres_generation_arch'],
+        'discriminator': loaded['mmsr.models.archs.discriminator_arch'],
         'dcn_v2': loaded['mmsr.models.archs.DCNv2.dcn_v2'],
         'restoration': loaded['mmsr.models.archs.ref_restoration_arch'],
     }

@@ -192,3 +192,34 @@ def test_composite_parity_full_scale(ref_archs, tmp_path):
     assert report['feat_delta'] < 1e-4, report
     assert report['offset_delta'] == 0.0, report
     assert report['out_delta'] < 1e-3, report
+
+
+def test_discriminator_torch_parity(ref_archs, tmp_path):
+    """Reference ImageDiscriminator (verbatim torch, eval-mode BN) ->
+    import_discriminator -> flax forward parity (the one arch the
+    inference composite above does not cover)."""
+    from c2matching_tpu.models.archs import ImageDiscriminator
+    from c2matching_tpu.utils.pth_import import import_discriminator
+
+    torch.manual_seed(5)
+    d_t = ref_archs['discriminator'].ImageDiscriminator(in_nc=3, ndf=32)
+    # nonzero running stats so eval-mode BN is actually exercised
+    with torch.no_grad():
+        d_t.train()
+        for _ in range(2):
+            d_t(torch.rand(4, 3, 64, 64))
+        d_t.eval()
+    path = str(tmp_path / 'net_d.pth')
+    torch.save(d_t.state_dict(), path)
+
+    variables = jax.tree.map(jnp.asarray, import_discriminator(path))
+    d_j = ImageDiscriminator(in_nc=3, ndf=32)
+
+    rng = np.random.RandomState(5)
+    img = rng.rand(2, 64, 64, 3).astype(np.float32)
+    with torch.no_grad():
+        out_t = d_t(torch.from_numpy(img.transpose(0, 3, 1, 2).copy()))
+    out_j = d_j.apply(variables, jnp.asarray(img), train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_j).reshape(-1), out_t.numpy().reshape(-1),
+        rtol=1e-4, atol=1e-5)
