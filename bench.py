@@ -19,15 +19,20 @@ serving configuration:
 - bf16 correlation operands in the patch matcher
   (``match_dtype='bfloat16'``): single-pass MXU matmul, f32
   accumulation/normalization (tests/test_patch_match.py pins agreement);
+- fully unrolled residual trunks (``trunk_unroll=16``): the rolled
+  nn.scan trunk pays a per-block loop barrier worth ~35% of trunk time
+  at eval scales (profiler-traced, then measured standalone: 194 vs
+  125 ms for body_large at batch 16); unrolling the whole pipeline
+  measured +5.3% end to end. Identical params/checkpoints;
 - a persistent XLA compilation cache (<repo>/.xla_cache): the batch-16
-  compile is minutes cold through the remote-compile tunnel but
-  seconds warm, which is what makes the fastest config shippable
+  unrolled compile is minutes cold through the remote-compile tunnel
+  but seconds warm, which is what makes the fastest config shippable
   inside the bench time budget.
 
 Measured sweep on a v5e chip (round 2, params closed over): batch 1 f32
 6.99 img/s, batch 1 bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62
 (9.83 with bf16 match), batch 16 bf16 9.77 (10.01 with bf16 match).
-Round 3 ships batch 16 + bf16 match with params as arguments.
+Round 3: params as jit arguments 9.86; + trunk_unroll=16 -> 10.41.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -81,7 +86,7 @@ def main():
 
     ext = ContrasExtractorSep()
     cg = CorrespondenceGenerationArch(match_dtype='bfloat16')
-    net = RestorationNet(gather_dtype='bfloat16')
+    net = RestorationNet(gather_dtype='bfloat16', trunk_unroll=16)
 
     # init at small spatial size; conv param shapes are size-independent
     s = 64
@@ -120,8 +125,8 @@ def main():
     ips = batch / dt
     print(json.dumps({
         'metric': 'images/sec/chip at 4x CUFED5-scale RefSR (512x336 HR), '
-                  'batch 16 serving config (bf16 DCN gathers + bf16 match, '
-                  'params as device buffers)',
+                  'batch 16 serving config (bf16 DCN gathers + bf16 match '
+                  '+ unrolled trunks, params as device buffers)',
         'value': round(ips, 3),
         'unit': 'images/sec',
         'vs_baseline': round(ips / V100_BASELINE_IPS, 2),

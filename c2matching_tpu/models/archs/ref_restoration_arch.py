@@ -121,6 +121,7 @@ class ContentExtractor(nn.Module):
     nf: int = 64
     n_blocks: int = 16
     dtype: Any = jnp.float32
+    trunk_unroll: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -131,7 +132,8 @@ class ContentExtractor(nn.Module):
         feat = lrelu(feat)
         return ResBlockStack(nf=self.nf, n_blocks=self.n_blocks,
                              kernel_init=srntt_normal_init(),
-                             dtype=self.dtype, name='body')(feat)
+                             dtype=self.dtype, unroll=self.trunk_unroll,
+                             name='body')(feat)
 
 
 class DynamicAggregationRestoration(nn.Module):
@@ -150,6 +152,7 @@ class DynamicAggregationRestoration(nn.Module):
     stage_barriers: bool = True
     dtype: Any = jnp.float32
     gather_dtype: Any = None
+    trunk_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -177,7 +180,7 @@ class DynamicAggregationRestoration(nn.Module):
                               name=f'head_{scale_name}', **conv_kwargs)(h))
             h = ResBlockStack(nf=ngf, n_blocks=self.n_blocks,
                               kernel_init=srntt_normal_init(),
-                              dtype=self.dtype,
+                              dtype=self.dtype, unroll=self.trunk_unroll,
                               name=f'body_{scale_name}')(h) + x
             return tail(h)
 
@@ -213,6 +216,10 @@ class RestorationNet(nn.Module):
     groups: int = 8
     dtype: Any = jnp.float32
     gather_dtype: Any = None
+    # lax.scan unroll factor for the residual trunks (serving knob:
+    # rolled scan costs ~35% of trunk time at eval scales; see
+    # arch_util.ResBlockStack). Param/checkpoint layout is unaffected.
+    trunk_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat):
@@ -228,11 +235,12 @@ class RestorationNet(nn.Module):
         base = upscale(x, 4, 'bilinear')
         content_feat = ContentExtractor(nf=self.ngf, n_blocks=self.n_blocks,
                                         dtype=self.dtype,
+                                        trunk_unroll=self.trunk_unroll,
                                         name='content_extractor')(x)
         restored = DynamicAggregationRestoration(
             ngf=self.ngf, n_blocks=self.n_blocks, groups=self.groups,
             dtype=self.dtype, gather_dtype=self.gather_dtype,
-            name='dyn_agg_restore')(content_feat,
-                                                      pre_offset,
-                                                      img_ref_feat)
+            trunk_unroll=self.trunk_unroll,
+            name='dyn_agg_restore')(content_feat, pre_offset,
+                                    img_ref_feat)
         return restored + base

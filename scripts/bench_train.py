@@ -37,6 +37,9 @@ def main():
     ap.add_argument('--batch', type=int, default=9)
     ap.add_argument('--gt-size', type=int, default=160)
     ap.add_argument('--iters', type=int, default=5)
+    ap.add_argument('--unroll', type=int, default=1,
+                    help='trunk_unroll for network_g (see '
+                         'arch_util.ResBlockStack)')
     args = ap.parse_args()
 
     from c2matching_tpu.models import create_model
@@ -47,6 +50,8 @@ def main():
         10 ** 9 if args.pretrain else 0)
     if not args.f32:
         opt['network_g']['gather_dtype'] = 'bfloat16'
+    if args.unroll != 1:
+        opt['network_g']['trunk_unroll'] = args.unroll
 
     b, gt = args.batch, args.gt_size
     lq = gt // 4

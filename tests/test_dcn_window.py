@@ -2,9 +2,13 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from c2matching_tpu.ops import modulated_deform_conv
 from c2matching_tpu.ops.dcn_window import (modulated_deform_conv_windowed,
                                            window_applicable)
+
+pytestmark = pytest.mark.fast
 
 
 def _c2_shaped_case(rng, h=16, w=12, c=8, g=4, blk=4, res=0.4, flow=20):

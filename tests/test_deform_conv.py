@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from c2matching_tpu.ops import modulated_deform_conv
 from c2matching_tpu.ops.deform_conv import modulated_deform_conv_reference
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def _np_bilinear(img, y, x):
     """Zero-padded bilinear sample of img:(H, W, C) at float (y, x),

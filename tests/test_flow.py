@@ -3,8 +3,12 @@ tensor_shift, the 9-candidate shifted stacks; corres_generation_arch.py)."""
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
 from c2matching_tpu.ops import (index_to_flow, match_to_pre_offsets,
                                 shifted_offsets, tensor_shift, upsample_flow)
+
+pytestmark = pytest.mark.fast
 
 
 def test_index_to_flow():

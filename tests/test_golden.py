@@ -4,6 +4,10 @@ refactors; loosen only with justification."""
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def _coords(h, w, batch=2):
     gx, gy = np.meshgrid(np.arange(4 * w), np.arange(4 * h))

@@ -1,6 +1,10 @@
 """MATLAB-compatible bicubic imresize properties + resize_flow."""
 import numpy as np
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def test_imresize_constant_preserved():
     from c2matching_tpu.data.util import imresize_np

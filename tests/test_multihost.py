@@ -11,6 +11,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.fast
+
 
 def _free_port():
     s = socket.socket()

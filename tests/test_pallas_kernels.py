@@ -2,6 +2,10 @@
 import numpy as np
 import jax.numpy as jnp
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def test_match_argmax_interpret_matches_xla():
     from c2matching_tpu.ops.pallas import match_argmax

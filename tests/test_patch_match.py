@@ -5,6 +5,10 @@ import jax.numpy as jnp
 
 from c2matching_tpu.ops import patch_match, batched_patch_match
 
+import pytest
+
+pytestmark = pytest.mark.fast
+
 
 def _np_normalize_per_pixel(feat):
     norm = np.sqrt((feat**2).sum(axis=-1, keepdims=True))
