@@ -11,7 +11,8 @@ serving configuration:
   param trees passed as jit ARGUMENTS (device buffers), not closed-over
   constants — matching real serving dataflow so XLA cannot constant-fold
   weight-dependent work out of the timed path;
-- batch 16 (throughput serving; batch-1 latency is ~132 ms/image);
+- batch 24 (throughput serving; batch-1 latency is ~132 ms/image;
+  batch 32 fails to compile — HBM);
 - bf16 deformable-conv gathers (``gather_dtype='bfloat16'``): the gather
   is the byte-bound hot path, halving its bytes is +25% throughput at
   ~0.4% relative feature rounding (tests/test_archs.py pins closeness
@@ -32,7 +33,11 @@ serving configuration:
 Measured sweep on a v5e chip (round 2, params closed over): batch 1 f32
 6.99 img/s, batch 1 bf16 7.60, batch 4 bf16 8.46, batch 8 bf16 9.62
 (9.83 with bf16 match), batch 16 bf16 9.77 (10.01 with bf16 match).
-Round 3: params as jit arguments 9.86; + trunk_unroll=16 -> 10.41.
+Round 3: params as jit arguments 9.86; + trunk_unroll=16 -> 10.41;
+batch 24 10.48; + pipelined dispatch -> 10.60 (batch 16 pipelined:
+10.57). bf16 trunk convs re-measured standalone at serving shapes and
+still LOSE on this chip (large trunk 166 -> 190 ms) — conv compute
+stays f32.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -40,9 +45,14 @@ Measurement notes:
 - params are initialized at a small spatial size (conv params are
   size-independent) because eager init at full size is slow through the
   remote device tunnel;
-- each timed iteration fetches a scalar reduction of the output to the
-  host — on the tunneled platform block_until_ready alone does not force
-  execution;
+- THROUGHPUT protocol (round 3): all iterations are dispatched
+  back-to-back and each result is folded into a running scalar checksum
+  fetched once at the end — the data dependency forces every iteration
+  to execute, while the ~36 ms/iter host fetch round-trip of the
+  tunneled platform overlaps with compute, exactly as a real server
+  overlaps result readback. (block_until_ready alone does not force
+  execution here, so per-iter timing must fetch per iter and eats the
+  round-trip: 10.48 img/s measured that way at batch 24.)
 - inputs differ per iteration to defeat any result memoization.
 
 Baseline: the reference publishes no throughput (BASELINE.md). The driver
@@ -53,7 +63,6 @@ here explicitly, not a repo-published number.
 """
 import json
 import os
-import statistics
 import time
 
 V100_BASELINE_IPS = 0.75  # estimated reference V100 throughput (see above)
@@ -77,7 +86,7 @@ def main():
 
     gt_h, gt_w = 512, 336   # CUFED5-scale, padded to x16 static bucket
     lr_h, lr_w = gt_h // 4, gt_w // 4
-    batch = 16
+    batch = 24
 
     rng = jax.random.PRNGKey(0)
 
@@ -115,18 +124,22 @@ def main():
     # warmup / compile
     fetch(full(ext_params, cg_params, g_params, *ins[-1]))
 
-    times = []
+    # throughput: dispatch all iters back-to-back, chain checksums, fetch
+    # once — forces every iteration to execute while overlapping the host
+    # fetch round-trip with compute (see module docstring).
+    t0 = time.time()
+    acc = jnp.float32(0)
     for i in range(n_iters):
-        t0 = time.time()
-        fetch(full(ext_params, cg_params, g_params, *ins[i]))
-        times.append(time.time() - t0)
+        acc = acc + jnp.sum(full(ext_params, cg_params, g_params, *ins[i]))
+    float(acc)
+    dt = (time.time() - t0) / n_iters
 
-    dt = statistics.median(times)
     ips = batch / dt
     print(json.dumps({
         'metric': 'images/sec/chip at 4x CUFED5-scale RefSR (512x336 HR), '
-                  'batch 16 serving config (bf16 DCN gathers + bf16 match '
-                  '+ unrolled trunks, params as device buffers)',
+                  'batch 24 serving config (bf16 DCN gathers + bf16 match '
+                  '+ unrolled trunks, params as device buffers, pipelined '
+                  'dispatch)',
         'value': round(ips, 3),
         'unit': 'images/sec',
         'vs_baseline': round(ips / V100_BASELINE_IPS, 2),
