@@ -19,8 +19,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_TQ = 256
-DEFAULT_TR = 256
+# Tile sweep at the production shape (10332 descriptors x D=2304, bf16,
+# batch 16 vmapped; one v5e chip): 256/256 136 ms, 512/256 135,
+# 512/512 128, 512/768 125, 256/512 130; TQ or TR >= 768 with TQ=768,
+# or 1024 anywhere, fails Mosaic compile (VMEM). Results are identical
+# for any tile size (f32 accumulation per tile; first-max tie-breaking
+# is global: earliest tile wins via strict '>', first max within tile).
+DEFAULT_TQ = 512
+DEFAULT_TR = 512
 
 
 def _match_kernel(nr_ref, q_ref, r_ref, val_ref, idx_ref):
