@@ -199,6 +199,15 @@ class RefRestorationModel(SRModel):
         self.net_g_pretrain_steps = train_opt['net_g_pretrain_steps']
         self.net_d_steps = train_opt.get('net_d_steps') or 1
         self.net_d_init_steps = train_opt.get('net_d_init_steps') or 0
+        if self.net_d_steps > 1:
+            # do_g enters the fused step as a static argument: each of
+            # the two variants (G-step / D-only) compiles a full fused
+            # executable — minutes each through a remote-compile path.
+            logger.warning(
+                f'net_d_steps={self.net_d_steps} > 1: the fused GAN step '
+                'compiles TWO full variants (with and without the G '
+                'phase); expect a second multi-minute compile at the '
+                'first D-only iteration.')
 
         # --- optimizers
         lr_tree = _offset_lr_tree(self.vars_g['params'], train_opt)
