@@ -1,0 +1,70 @@
+"""Batch serving CLI (scripts/serve.py): the framework's deployment
+entry beyond the reference's batch-1 eval protocol (mmsr/test.py:13-66).
+
+Asserts the batched path is faithful: serving the synth set at batch 3
+(exercising both a full bucket flush and a padded partial flush) writes
+the same images, to within one uint8 quantization step, as serving at
+batch 1 — i.e. batching/padding is a pure throughput transform with no
+numeric effect on outputs.
+"""
+import os
+import os.path as osp
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
+
+
+@pytest.fixture(scope='module')
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp('synth_serve')
+    subprocess.run(
+        [sys.executable, osp.join(REPO, 'scripts', 'make_synth_dataset.py'),
+         str(root), '--n', '4', '--size', '160'],
+        check=True)
+    return str(root)
+
+
+def run_serve(synth_root, out_dir, batch, tmp_path):
+    src = open(osp.join(REPO, 'options', 'test',
+                        'test_synth_smoke.yml')).read()
+    cfg = (src
+           .replace('./datasets/synth/input',
+                    osp.join(synth_root, 'input'))
+           .replace('./datasets/synth/ref', osp.join(synth_root, 'ref'))
+           .replace('./datasets/synth/pairs.txt',
+                    osp.join(synth_root, 'pairs.txt')))
+    cfg_path = str(tmp_path / f'serve_b{batch}.yml')
+    with open(cfg_path, 'w') as f:
+        f.write(cfg)
+    env = dict(os.environ,
+               C2MATCHING_PLATFORM='cpu',
+               PYTHONPATH=REPO,
+               JAX_COMPILATION_CACHE_DIR=osp.join(REPO, '.xla_cache'),
+               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS='10')
+    subprocess.run(
+        [sys.executable, osp.join(REPO, 'scripts', 'serve.py'),
+         '-opt', cfg_path, '--batch', str(batch), '--out', out_dir],
+        check=True, env=env, timeout=900, cwd=REPO)
+    return sorted(os.listdir(out_dir))
+
+
+def test_serve_batched_matches_batch1(synth_root, tmp_path):
+    out3 = str(tmp_path / 'b3')
+    out1 = str(tmp_path / 'b1')
+    names3 = run_serve(synth_root, out3, 3, tmp_path)
+    names1 = run_serve(synth_root, out1, 1, tmp_path)
+    pngs3 = [n for n in names3 if n.endswith('.png')]
+    pngs1 = [n for n in names1 if n.endswith('.png')]
+    assert pngs3 == pngs1 and len(pngs3) == 4
+    for name in pngs3:
+        a = np.asarray(Image.open(osp.join(out3, name)), dtype=np.int16)
+        b = np.asarray(Image.open(osp.join(out1, name)), dtype=np.int16)
+        assert a.shape == b.shape == (160, 160, 3)  # --size 160 HR pairs
+        # batch-3 vs batch-1 executables may differ in reduction order;
+        # anything beyond one quantization step is a real batching bug
+        assert np.abs(a - b).max() <= 1, name
