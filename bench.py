@@ -12,7 +12,8 @@ serving configuration:
   constants — matching real serving dataflow so XLA cannot constant-fold
   weight-dependent work out of the timed path;
 - batch 24 (throughput serving; batch-1 latency is ~132 ms/image;
-  batch 32 fails to compile — HBM);
+  batch 28 measured SLOWER, 10.33 img/s — past the sweet spot; batch 32
+  fails to compile — HBM);
 - bf16 deformable-conv gathers (``gather_dtype='bfloat16'``): the gather
   is the byte-bound hot path, halving its bytes is +25% throughput at
   ~0.4% relative feature rounding (tests/test_archs.py pins closeness
