@@ -34,7 +34,12 @@ def main():
     ap.add_argument('--pretrain', action='store_true',
                     help='time the MSE pretrain step instead of the GAN '
                          'iteration')
-    ap.add_argument('--batch', type=int, default=9)
+    ap.add_argument('--stage', type=int, default=3, choices=(1, 2, 3),
+                    help='1 = teacher contras iter, 2 = student '
+                         'distillation iter, 3 = restoration (default)')
+    ap.add_argument('--batch', type=int, default=None,
+                    help='default: the production batch for the stage '
+                         '(8 for stages 1-2, 9 for stage 3)')
     ap.add_argument('--gt-size', type=int, default=160)
     ap.add_argument('--iters', type=int, default=5)
     ap.add_argument('--unroll', type=int, default=1,
@@ -45,30 +50,54 @@ def main():
     from c2matching_tpu.models import create_model
     from c2matching_tpu.utils.options import parse
 
-    opt = parse('options/train/debug_stage3_synth.yml', is_train=True)
-    opt['train']['net_g_pretrain_steps'] = (
-        10 ** 9 if args.pretrain else 0)
-    if not args.f32:
-        opt['network_g']['gather_dtype'] = 'bfloat16'
-    if args.unroll != 1:
-        opt['network_g']['trunk_unroll'] = args.unroll
+    opt = parse(f'options/train/debug_stage{args.stage}_synth.yml',
+                is_train=True)
+    if args.stage == 2:
+        # throughput only: random-init teacher instead of a stage-1 ckpt
+        opt['path']['pretrain_model_teacher'] = None
+    if args.stage == 3:
+        opt['train']['net_g_pretrain_steps'] = (
+            10 ** 9 if args.pretrain else 0)
+        if not args.f32:
+            opt['network_g']['gather_dtype'] = 'bfloat16'
+        if args.unroll != 1:
+            opt['network_g']['trunk_unroll'] = args.unroll
 
-    b, gt = args.batch, args.gt_size
+    # production batches: stages 1-2 train at batch 8, stage 3 at 9
+    b = args.batch or (9 if args.stage == 3 else 8)
+    gt = args.gt_size
     lq = gt // 4
 
     def mk_batch(seed):
         r = np.random.RandomState(seed)
-        return {
-            'img_in_lq': r.rand(b, lq, lq, 3).astype(np.float32),
+        batch = {
             'img_in_up': r.rand(b, gt, gt, 3).astype(np.float32),
             'img_in': r.rand(b, gt, gt, 3).astype(np.float32),
             'img_ref': r.rand(b, gt, gt, 3).astype(np.float32),
         }
+        if args.stage == 3:
+            batch['img_in_lq'] = r.rand(b, lq, lq, 3).astype(np.float32)
+        else:
+            # near-identity homography coordinate grids (the contras
+            # stages' correspondence supervision; a valid grid keeps the
+            # >=128-correspondence masking on its production path)
+            from c2matching_tpu.data.contras_dataset import \
+                transformed_coordinate_grid
+            grids = []
+            for _ in range(b):
+                jitter = np.eye(3) + r.uniform(-1e-3, 1e-3, (3, 3))
+                jitter[:2, 2] += r.uniform(-4, 4, 2)
+                grids.append(transformed_coordinate_grid(jitter, gt, gt))
+            batch['transformed_coordinate'] = np.stack(grids)
+        return batch
 
     model = create_model(opt)
     n = args.iters
     batches = [mk_batch(100 + i) for i in range(n + 2)]
-    loss_key = 'l_pix' if args.pretrain else 'l_g_pix'
+    if args.stage == 3:
+        loss_key = 'l_pix' if args.pretrain else 'l_g_pix'
+    else:
+        loss_key = 'loss'
     for i in range(2):                        # compile + settle donation
         model.feed_data(batches[n + i])
         model.optimize_parameters(i + 1)
@@ -83,10 +112,16 @@ def main():
         ts.append(time.time() - t0)
 
     dt = statistics.median(ts)
+    if args.stage == 3:
+        kind = 'pretrain' if args.pretrain else 'GAN'
+        detail = 'f32' if args.f32 else 'bf16 gathers'
+    else:
+        kind = 'teacher-contras' if args.stage == 1 else 'student-distill'
+        detail = 'f32'
     print(json.dumps({
-        'metric': (f'ms/{"pretrain" if args.pretrain else "GAN"}-iter, '
-                   f'stage-3 batch {b} / {gt}px GT '
-                   f'({"f32" if args.f32 else "bf16 gathers"})'),
+        'metric': (f'ms/{kind}-iter, '
+                   f'stage-{args.stage} batch {b} / {gt}px GT '
+                   f'({detail})'),
         'value': round(dt * 1e3, 1),
         'unit': 'ms',
         'samples_per_sec': round(b / dt, 1),
