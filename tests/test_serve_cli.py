@@ -1,7 +1,7 @@
 """Batch serving CLI (scripts/serve.py): the framework's deployment
 entry beyond the reference's batch-1 eval protocol (mmsr/test.py:13-66).
 
-Asserts the batched path is faithful: serving the synth set at batch 3
+Asserts the batched path is faithful: serving the synth set at batch 2
 (exercising both a full bucket flush and a padded partial flush) writes
 the same images, to within one uint8 quantization step, as serving at
 batch 1 — i.e. batching/padding is a pure throughput transform with no
@@ -24,7 +24,7 @@ def synth_root(tmp_path_factory):
     root = tmp_path_factory.mktemp('synth_serve')
     subprocess.run(
         [sys.executable, osp.join(REPO, 'scripts', 'make_synth_dataset.py'),
-         str(root), '--n', '4', '--size', '160'],
+         str(root), '--n', '3', '--size', '160'],
         check=True)
     return str(root)
 
@@ -54,15 +54,16 @@ def run_serve(synth_root, out_dir, batch, tmp_path):
 
 
 def test_serve_batched_matches_batch1(synth_root, tmp_path):
-    out3 = str(tmp_path / 'b3')
+    # batch 2 over 3 images: one full bucket flush + one padded partial
+    out2 = str(tmp_path / 'b2')
     out1 = str(tmp_path / 'b1')
-    names3 = run_serve(synth_root, out3, 3, tmp_path)
+    names2 = run_serve(synth_root, out2, 2, tmp_path)
     names1 = run_serve(synth_root, out1, 1, tmp_path)
-    pngs3 = [n for n in names3 if n.endswith('.png')]
+    pngs2 = [n for n in names2 if n.endswith('.png')]
     pngs1 = [n for n in names1 if n.endswith('.png')]
-    assert pngs3 == pngs1 and len(pngs3) == 4
-    for name in pngs3:
-        a = np.asarray(Image.open(osp.join(out3, name)), dtype=np.int16)
+    assert pngs2 == pngs1 and len(pngs2) == 3
+    for name in pngs2:
+        a = np.asarray(Image.open(osp.join(out2, name)), dtype=np.int16)
         b = np.asarray(Image.open(osp.join(out1, name)), dtype=np.int16)
         assert a.shape == b.shape == (160, 160, 3)  # --size 160 HR pairs
         # batch-3 vs batch-1 executables may differ in reduction order;
