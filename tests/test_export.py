@@ -5,6 +5,7 @@ This is the deployment artifact path the torch reference cannot offer
 (its inference is Python-in-process only, mmsr/test.py): the exported
 module carries the full pipeline + weights and runs without model code.
 """
+import os
 import os.path as osp
 import sys
 
@@ -56,3 +57,36 @@ def test_export_roundtrip_matches_direct(model):
 def test_export_rejects_non_multiple_of_scale(model):
     with pytest.raises(ValueError):
         export_serving(model, batch=1, hr_h=62, hr_w=64)
+
+
+def test_export_serves_without_model_code(model, tmp_path):
+    """The artifact's core claim: a fresh process that never imports
+    c2matching_tpu (only jax) can deserialize and run the pipeline."""
+    import subprocess
+    path = tmp_path / 'model.jaxexp'
+    exp = export_serving(model, batch=1, hr_h=64, hr_w=64,
+                         platforms=['cpu'])
+    path.write_bytes(exp.serialize())
+
+    runner = tmp_path / 'runner.py'
+    runner.write_text(
+        "import sys\n"
+        "import jax, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert not any(m.startswith('c2matching_tpu')"
+        " for m in sys.modules), 'model code leaked into the server'\n"
+        "from jax import export\n"
+        f"exp = export.deserialize(open({str(path)!r}, 'rb').read())\n"
+        "k = jax.random.PRNGKey(0)\n"
+        "up = jax.random.uniform(k, (1, 64, 64, 3))\n"
+        "ref = jax.random.uniform(k, (1, 64, 64, 3))\n"
+        "lr = jax.random.uniform(k, (1, 16, 16, 3))\n"
+        "out = exp.call(up, ref, lr)\n"
+        "assert out.shape == (1, 64, 64, 3), out.shape\n"
+        "assert bool(jnp.isfinite(out).all())\n"
+        "print('served ok')\n")
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    res = subprocess.run([sys.executable, str(runner)], env=env,
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert 'served ok' in res.stdout
