@@ -43,6 +43,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--batch', type=int, default=16)
     ap.add_argument('--iters', type=int, default=4)
+    ap.add_argument('--cost', action='store_true',
+                    help='add XLA cost-model flops/bytes per stage and '
+                         'achieved TFLOP/s / HBM GB/s (net of fetch)')
     args = ap.parse_args()
 
     import jax
@@ -109,6 +112,26 @@ def main():
     total_net = sum(t - t_fetch for _, t in rows)
     out['total_net_ms'] = round(total_net * 1e3, 1)
     out['net_img_per_s'] = round(b / total_net, 2)
+
+    if args.cost:
+        # XLA's own cost model for the compiled executables (flops =
+        # useful arithmetic, bytes = HBM traffic estimate); achieved
+        # rates use the fetch-subtracted times above
+        lowered = {
+            'extractor': ext_j.lower(ext_params, ups[0], refs[0]),
+            'matcher': cg_j.lower(cg_params, feats, refs[0]),
+            'generator': g_j.lower(g_params, lrs[0], po, rf),
+        }
+        for (name, t), low in zip(rows, lowered.values()):
+            ca = low.compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, list) else ca
+            gf = ca.get('flops', 0.0) / 1e9
+            gb = ca.get('bytes accessed', 0.0) / 1e9
+            net = max(t - t_fetch, 1e-9)
+            out[f'{name}_gflops'] = round(gf, 1)
+            out[f'{name}_hbm_gb'] = round(gb, 2)
+            out[f'{name}_tflops_per_s'] = round(gf / net / 1e3, 2)
+            out[f'{name}_hbm_gb_per_s'] = round(gb / net, 1)
     print(json.dumps(out))
 
 
