@@ -39,6 +39,12 @@ class Transaction:
     def __init__(self, env, write):
         self._env = env
         self._write = write
+        # puts are buffered per transaction and merged into the shared
+        # index only on commit — an aborted write transaction leaves the
+        # environment untouched, matching real lmdb semantics (the data
+        # bytes appended for aborted puts become unreferenced, like
+        # lmdb's own abandoned pages)
+        self._pending = {}
         if write and env._readonly:
             raise Error('cannot write to a readonly environment')
 
@@ -56,7 +62,8 @@ class Transaction:
         return False
 
     def get(self, key, default=None):
-        entry = self._env._index.get(key.decode('ascii'))
+        k = key.decode('ascii')
+        entry = self._pending.get(k) or self._env._index.get(k)
         if entry is None:
             return default
         off, length = entry
@@ -71,15 +78,17 @@ class Transaction:
             self._env._data.seek(0, os.SEEK_END)
             off = self._env._data.tell()
             self._env._data.write(value)
-            self._env._index[key.decode('ascii')] = [off, len(value)]
+        self._pending[key.decode('ascii')] = [off, len(value)]
         return True
 
     def commit(self):
         if self._write:
+            self._env._index.update(self._pending)
+            self._pending = {}
             self._env._flush_index()
 
     def abort(self):
-        pass
+        self._pending = {}
 
 
 class Environment:

@@ -49,11 +49,8 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update('jax_compilation_cache_dir',
-                      osp.join(osp.dirname(osp.dirname(
-                          osp.abspath(__file__))), '.xla_cache'))
-    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    from c2matching_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax.numpy as jnp
     from c2matching_tpu.models.archs import (ContrasExtractorSep,

@@ -12,11 +12,12 @@ batch N, and writes x4 outputs.
     python scripts/serve.py -opt options/test/test_C2_matching_serving.yml \
         --batch 16 [--out results/<name>_serve]
 
-Images whose LR shapes differ land in different buckets; each bucket
-flushes when it reaches --batch (a final partial flush pads the batch by
-repeating the last item and drops the padding after — static batch shape,
-no recompile). Items are decoded/preprocessed by a background thread pool
-so host PIL work overlaps device compute.
+Images whose (padded LR, original GT) shapes differ land in different
+buckets; each bucket flushes when it reaches --batch (a final partial
+flush pads the batch by repeating the last item and drops the padding
+after — static batch shape, no recompile). Items are decoded/
+preprocessed by a bounded background prefetch so host PIL work overlaps
+device compute without buffering the whole set.
 
 Reported throughput is END-TO-END (decode + PIL bicubic chain + device
 compute + PNG encode); on a 1-core host the PIL chain dominates — use
@@ -29,6 +30,7 @@ if os.environ.get('C2MATCHING_PLATFORM'):
     jax.config.update('jax_platforms', os.environ['C2MATCHING_PLATFORM'])
 
 import argparse
+import collections
 import logging
 import os.path as osp
 import sys
@@ -45,8 +47,46 @@ from c2matching_tpu.data import create_dataset
 from c2matching_tpu.data.loader import default_collate
 from c2matching_tpu.models import create_model
 from c2matching_tpu.utils import dict_to_nonedict, get_root_logger
+from c2matching_tpu.utils.compile_cache import enable_persistent_cache
 from c2matching_tpu.utils.options import parse
 from c2matching_tpu.utils.util import imwrite, tensor2img
+
+
+def _prefetched(dataset, n, pool, window):
+    """Yield dataset items in order with at most `window` decodes in
+    flight — bounded host memory, unlike an eager pool.map over n."""
+    pending = collections.deque(
+        pool.submit(dataset.__getitem__, i)
+        for i in range(min(window, n)))
+    nxt = len(pending)
+    while pending:
+        yield pending.popleft().result()
+        if nxt < n:
+            pending.append(pool.submit(dataset.__getitem__, nxt))
+            nxt += 1
+
+
+def bucket_batches(items_iter, batch_size):
+    """Group an item stream into shape-compatible batches of up to
+    batch_size, yielding (items, names) per flush.
+
+    Buckets on BOTH the padded LR shape and the unpadded GT shape: test
+    items pad input/ref to their common max but keep img_in at the
+    original GT size, so two pairs can share an LR shape while their
+    img_in shapes differ (collate would fail on one batch). Leftover
+    partial buckets are yielded at the end.
+    """
+    buckets = {}  # (lq (h, w), gt (h, w)) -> (items, names)
+    for idx, item in enumerate(items_iter):
+        key = (item['img_in_lq'].shape[:2], item['img_in'].shape[:2])
+        items, names = buckets.setdefault(key, ([], []))
+        items.append(item)
+        names.append(osp.splitext(
+            osp.basename(item.get('lq_path') or f'{idx:06d}'))[0]
+            + f'_{idx:06d}')
+        if len(items) == batch_size:
+            yield buckets.pop(key)
+    yield from buckets.values()
 
 
 def _flush(model, items, names, out_dir, batch_size, logger):
@@ -84,6 +124,7 @@ def main():
     args = parser.parse_args()
     opt = parse(args.opt, is_train=False)
     opt = dict_to_nonedict(opt)
+    enable_persistent_cache()  # bucket compiles are minutes cold, once
 
     out_dir = args.out or osp.join('results', f"{opt['name']}_serve")
     os.makedirs(out_dir, exist_ok=True)
@@ -102,23 +143,11 @@ def main():
 
         t0 = time.time()
         served = 0
-        buckets = {}  # lq (h, w) -> (items, names)
         with ThreadPoolExecutor(max_workers=2) as pool:
-            for idx, item in zip(range(n), pool.map(dataset.__getitem__,
-                                                    range(n))):
-                key = item['img_in_lq'].shape[:2]
-                items, names = buckets.setdefault(key, ([], []))
-                items.append(item)
-                names.append(osp.splitext(
-                    osp.basename(item.get('lq_path') or f'{idx:06d}'))[0]
-                    + f'_{idx:06d}')
-                if len(items) == args.batch:
-                    served += _flush(model, items, names, out_dir,
-                                     args.batch, logger)
-                    buckets.pop(key)
-        for items, names in buckets.values():
-            served += _flush(model, items, names, out_dir, args.batch,
-                             logger)
+            stream = _prefetched(dataset, n, pool, window=2 * args.batch)
+            for items, names in bucket_batches(stream, args.batch):
+                served += _flush(model, items, names, out_dir,
+                                 args.batch, logger)
         dt = time.time() - t0
         logger.info(f'{served} images in {dt:.1f}s end-to-end '
                     f'({served / dt:.2f} img/s incl. host decode/PIL; '

@@ -139,3 +139,30 @@ def test_dataset_getitem_lmdb_matches_disk(packed_root, tmp_path):
     a, b = ds_lmdb[1], ds_disk[1]
     for k in ('img_in', 'img_in_lq', 'img_in_up', 'img_ref'):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_shim_aborted_transaction_rolls_back(tmp_path):
+    """Real-lmdb semantics: puts in an aborted write transaction must
+    not be visible afterwards nor persisted by close()."""
+    from c2matching_tpu.utils import lmdb_shim
+
+    path = str(tmp_path / 'store.lmdb')
+    env = lmdb_shim.open(path)
+    with env.begin(write=True) as txn:
+        txn.put(b'kept', b'payload-1')
+        assert txn.get(b'kept') == b'payload-1'  # read-your-writes
+    with pytest.raises(RuntimeError):
+        with env.begin(write=True) as txn:
+            txn.put(b'rolled-back', b'payload-2')
+            raise RuntimeError('simulated failure mid-pack')
+    with env.begin() as txn:
+        assert txn.get(b'kept') == b'payload-1'
+        assert txn.get(b'rolled-back') is None
+    env.close()
+
+    env2 = lmdb_shim.open(path, readonly=True)
+    with env2.begin() as txn:
+        assert txn.get(b'kept') == b'payload-1'
+        assert txn.get(b'rolled-back') is None
+    assert env2.stat()['entries'] == 1
+    env2.close()

@@ -12,8 +12,8 @@ import jax
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.fast
-
+# not 'fast': compiles four full contras models on the CPU mesh —
+# sub-minute only with a warm .xla_cache, minutes cold
 REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
 
 # GT must give >=128 correspondences inside the 10px-margin validity
@@ -23,11 +23,10 @@ REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
 GT, BATCH = 96, 8
 
 
-def _make_opt(tmp_root, stage):
-    import os
+def _make_opt(tmp_root, stage, monkeypatch):
     from c2matching_tpu.utils import dict_to_nonedict
     from c2matching_tpu.utils.options import parse
-    os.environ['C2MATCHING_ROOT'] = str(tmp_root)
+    monkeypatch.setenv('C2MATCHING_ROOT', str(tmp_root))
     opt = parse(osp.join(REPO, 'options', 'train',
                          f'debug_stage{stage}_synth.yml'), is_train=True)
     opt['name'] = f'dp_equiv_s{stage}'
@@ -79,7 +78,7 @@ def test_contras_step_dp_equivalence(stage, tmp_path, monkeypatch):
     from c2matching_tpu.models import create_model
     from c2matching_tpu.parallel.mesh import get_mesh
 
-    opt = _make_opt(tmp_path, stage)
+    opt = _make_opt(tmp_path, stage, monkeypatch)
     batch = _make_batch(17)
 
     model_8 = create_model(opt)

@@ -21,11 +21,10 @@ REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
 GT, BATCH, STEPS = 64, 8, 1
 
 
-def _make_opt(tmp_root, n_blocks=16):
+def _make_opt(tmp_root, monkeypatch, n_blocks=16):
     from c2matching_tpu.utils import dict_to_nonedict
     from c2matching_tpu.utils.options import parse
-    import os
-    os.environ['C2MATCHING_ROOT'] = str(tmp_root)
+    monkeypatch.setenv('C2MATCHING_ROOT', str(tmp_root))
     opt = parse(osp.join(REPO, 'options', 'train',
                          'debug_stage3_synth.yml'), is_train=True)
     opt['name'] = 'dp_equiv'
@@ -71,7 +70,7 @@ def test_gan_step_dp_equivalence(tmp_path, monkeypatch):
     from c2matching_tpu.models import create_model
     from c2matching_tpu.parallel.mesh import get_mesh
 
-    opt = _make_opt(tmp_path)
+    opt = _make_opt(tmp_path, monkeypatch)
 
     model_8 = _run_steps(create_model(opt), STEPS)
 
@@ -110,7 +109,7 @@ def test_mesh_train_save_restore_continue(tmp_path, monkeypatch):
     train.py:140-178)."""
     from c2matching_tpu.models import create_model
 
-    opt = _make_opt(tmp_path, n_blocks=4)
+    opt = _make_opt(tmp_path, monkeypatch, n_blocks=4)
     model = _run_steps(create_model(opt), 3)
     model.save(epoch=0, current_iter=3)
 

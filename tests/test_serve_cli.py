@@ -69,3 +69,36 @@ def test_serve_batched_matches_batch1(synth_root, tmp_path):
         # batch-3 vs batch-1 executables may differ in reduction order;
         # anything beyond one quantization step is a real batching bug
         assert np.abs(a - b).max() <= 1, name
+
+
+@pytest.mark.fast
+def test_bucket_batches_separates_mixed_gt_sizes():
+    """CUFED5-like case: pairs share a padded LR shape but differ in
+    original GT size (input padded up to its larger ref). They must not
+    share a batch, or collate on 'img_in' would fail; partial buckets
+    all flush at the end."""
+    sys.path.insert(0, osp.join(REPO, 'scripts'))
+    from serve import bucket_batches
+
+    def item(lq_hw, gt_hw, name):
+        return {'img_in_lq': np.zeros(lq_hw + (3,), np.float32),
+                'img_in': np.zeros(gt_hw + (3,), np.float32),
+                'lq_path': f'{name}.png'}
+
+    items = [item((125, 83), (500, 332), 'a'),   # padded to ref size
+             item((125, 83), (400, 300), 'b'),   # same LR, smaller GT
+             item((125, 83), (500, 332), 'c'),
+             item((125, 83), (500, 332), 'd'),
+             item((100, 83), (400, 332), 'e')]   # different LR bucket
+    flushes = list(bucket_batches(iter(items), batch_size=2))
+
+    # full flush: a+c (same LR and GT); partials: d, b, e
+    sizes = sorted((len(f[0]) for f in flushes), reverse=True)
+    assert sizes == [2, 1, 1, 1]
+    assert sum(len(f[0]) for f in flushes) == len(items)
+    for batch_items, names in flushes:
+        gt_shapes = {it['img_in'].shape for it in batch_items}
+        lq_shapes = {it['img_in_lq'].shape for it in batch_items}
+        assert len(gt_shapes) == 1 and len(lq_shapes) == 1
+    full = next(f for f in flushes if len(f[0]) == 2)
+    assert [n.split('_')[0] for n in full[1]] == ['a', 'c']
