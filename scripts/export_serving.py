@@ -29,6 +29,14 @@ Output: (B, H, W, 3) x4 restoration. Round-trip:
     out = exp.call(img_in_up, img_ref, img_in_lq)
 
 Fidelity vs the in-process eval path is pinned by tests/test_export.py.
+
+Multi-platform artifacts: `--platforms cpu,tpu` from a CPU process
+(C2MATCHING_PLATFORM=cpu) emits ONE artifact loadable on both platforms
+— on CPU the matcher takes the platform-neutral XLA formulation, which
+lowers everywhere (verified: 44 MB dual-platform artifact). Exporting
+FROM a TPU process instead embeds the Pallas patch-match kernel (the
+faster matcher), making that artifact TPU-only; prefer it for
+TPU-fleet deployment.
 """
 import os
 
