@@ -60,13 +60,27 @@ class SpectralNormConv(nn.Module):
             lambda: _l2_normalize(jax.random.normal(
                 self.make_rng('params') if self.is_initializing()
                 else jax.random.PRNGKey(0), (self.features,))))
-        u = u_var.value
-        for _ in range(self.n_power_iterations):
-            v = _l2_normalize(w_mat.T @ u)
-            u = _l2_normalize(w_mat @ v)
+        v_var = self.variable(
+            'spectral_stats', 'v',
+            lambda: _l2_normalize(w_mat.T @ u_var.value))
+        # torch semantics: power iteration only when training
+        # (do_power_iteration = module.training); eval reuses the stored
+        # (u, v) without touching them. Mutability of spectral_stats is
+        # the flax analog of module.training here — an eval
+        # apply(variables, x) without mutable=['spectral_stats'] must
+        # neither iterate nor write (it would crash on the write).
+        if self.is_initializing() or \
+                self.is_mutable_collection('spectral_stats'):
+            u = u_var.value
+            for _ in range(self.n_power_iterations):
+                v = _l2_normalize(w_mat.T @ u)
+                u = _l2_normalize(w_mat @ v)
+            if not self.is_initializing():
+                u_var.value = jax.lax.stop_gradient(u)
+                v_var.value = jax.lax.stop_gradient(v)
+        else:
+            u, v = u_var.value, v_var.value
         sigma = u @ (w_mat @ v)
-        if not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u)
         kernel = kernel / jax.lax.stop_gradient(sigma)
         if self.sn_bias:
             bias = bias / jax.lax.stop_gradient(
@@ -175,14 +189,9 @@ def lrelu(x, slope=0.1):
     return nn.leaky_relu(x, negative_slope=slope)
 
 
-def pixel_shuffle(x, factor=2):
-    """Depth-to-space matching torch nn.PixelShuffle channel order."""
-    b, h, w, crr = x.shape
-    r = factor
-    c = crr // (r * r)
-    x = x.reshape(b, h, w, c, r, r)
-    x = x.transpose(0, 1, 4, 2, 5, 3)
-    return x.reshape(b, h * r, w * r, c)
+# depth-to-space lives in ops/resize.py (single implementation; it
+# carries the TPU-layout rationale and the pixel_unshuffle inverse)
+from ...ops.resize import pixel_shuffle  # noqa: E402
 
 
 class ResidualBlockWithBN(nn.Module):

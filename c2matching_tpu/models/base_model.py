@@ -40,25 +40,47 @@ def _scale_by_tree(lr_tree):
     return optax.GradientTransformation(init, update)
 
 
+def _scale_by_tree_schedule(lr_tree, lr_fn):
+    """Per-leaf scheduled LR: each leaf is scaled by -lr_fn(step, lr_leaf)
+    with its OWN base LR — exact for schedules that are affine in the
+    base LR per group (CosineAnnealingRestartLR's absolute eta_min
+    floor, lr_scheduler.py:50-107), where a shared scalar multiplier of
+    lr_g would mis-scale the other groups' floors."""
+
+    def init(params):
+        del params
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        del params
+        updates = jax.tree.map(
+            lambda u, lr: u * (-lr_fn(state.count, lr)), updates, lr_tree)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_adam(base_lr, betas=(0.9, 0.999), weight_decay=0.0,
               schedule_fn=None, lr_tree=None, eps=1e-8):
     """torch.optim.Adam-faithful optimizer:
     update = -lr(step) * m_hat / (sqrt(v_hat) + eps), with torch-style L2
-    weight decay folded into the gradient before the moments."""
+    weight decay folded into the gradient before the moments.
+    ``schedule_fn`` is lr_fn(step, base_lr) -> lr (lr_scheduler.py)."""
     txs = []
     if weight_decay:
         txs.append(optax.add_decayed_weights(weight_decay))
     txs.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-    if lr_tree is not None:
-        txs.append(_scale_by_tree(lr_tree))
-        base = 1.0
-    else:
-        base = base_lr
     if schedule_fn is None:
-        txs.append(optax.scale(-base))
+        if lr_tree is not None:
+            txs.append(_scale_by_tree(lr_tree))
+            txs.append(optax.scale(-1.0))
+        else:
+            txs.append(optax.scale(-base_lr))
+    elif lr_tree is not None:
+        txs.append(_scale_by_tree_schedule(lr_tree, schedule_fn))
     else:
         txs.append(optax.scale_by_schedule(
-            lambda step: -base * schedule_fn(step)))
+            lambda step: -schedule_fn(step, base_lr)))
     return optax.chain(*txs)
 
 
@@ -95,8 +117,9 @@ class BaseModel:
 
     def current_learning_rates(self, step):
         """Host-side LR report for logging (base_model.py:179-183)."""
-        mult = self.schedule_fn(step) if self.schedule_fn else 1.0
-        return [lr * mult for lr in self.base_lrs()]
+        if self.schedule_fn is None:
+            return list(self.base_lrs())
+        return [float(self.schedule_fn(step, lr)) for lr in self.base_lrs()]
 
     def base_lrs(self):
         return [self.opt['train'].get('lr_g', 0) or 0]

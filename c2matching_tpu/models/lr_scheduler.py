@@ -1,11 +1,17 @@
 """Learning-rate schedules.
 
 Parity target: mmsr/models/lr_scheduler.py (MultiStepRestartLR :7-47,
-CosineAnnealingRestartLR :50-107) plus the linear warmup applied on top by
-BaseModel.update_learning_rate (base_model.py:155-177). Expressed as pure
-step->multiplier functions usable with optax.scale_by_schedule. All
-branching is jnp-based so the schedules trace cleanly inside jitted
-optimizer updates (and still evaluate on concrete host ints)."""
+CosineAnnealingRestartLR :50-107) plus the linear warmup applied on top
+by BaseModel.update_learning_rate (base_model.py:155-177).
+
+Expressed as pure ``lr_fn(step, base_lr) -> lr`` functions (the
+reference schedulers are stateful and multiplicative per group; the
+pure form evaluates the same closed form for any group's base LR, which
+matters for CosineAnnealingRestartLR whose ``eta_min`` floor is an
+ABSOLUTE learning rate applied per group, not a fraction of lr_g).
+All branching is jnp-based so the schedules trace cleanly inside jitted
+optimizer updates (and still evaluate on concrete host ints).
+"""
 import math
 
 import jax.numpy as jnp
@@ -13,82 +19,107 @@ import jax.numpy as jnp
 
 def multi_step_restart_schedule(milestones, gamma=0.1, restarts=(0,),
                                 restart_weights=(1,)):
-    """Step decay with optional warm restarts.
+    """Step decay with optional warm restarts (MultiStepRestartLR :7-47).
 
-    Returns f(step) -> lr multiplier. At each milestone the multiplier is
-    scaled by gamma; at a restart step the multiplier resets to the
-    corresponding restart weight and decay counting restarts.
+    Returns lr_fn(step, base_lr). At each milestone the LR is scaled by
+    gamma (cumulatively, duplicates compound); a restart at iteration r
+    resets the LR to base_lr * weight and wipes earlier decays. Before
+    the first configured restart the weight is 1 and ALL earlier
+    milestones apply (the reference only touches the LR when
+    ``last_epoch in restarts`` — a first restart at r > 0 changes
+    nothing for steps < r).
     """
     milestones = sorted(milestones)
     restarts = list(restarts)
     restart_weights = [float(w) for w in restart_weights]
-    assert len(restarts) == len(restart_weights)
+    assert len(restarts) == len(restart_weights), \
+        'restarts and their weights do not match.'
+    if not restarts or restarts[0] != 0:
+        # implicit segment before the first restart: weight 1, counting
+        # from step 0
+        restarts = [0] + restarts
+        restart_weights = [1.0] + restart_weights
 
-    def schedule(step):
+    def lr_fn(step, base_lr):
         step = jnp.asarray(step)
         # active restart segment = last restart <= step
         seg = jnp.maximum(
             sum((step >= r).astype(jnp.int32) for r in restarts) - 1, 0)
         weight = jnp.take(jnp.asarray(restart_weights), seg)
-        # per-segment decay count: milestones after that segment's start
+        # per-segment decay count: milestones strictly after that
+        # segment's start (a restart wipes earlier decays; a milestone
+        # colliding with a restart iteration is skipped, as the
+        # reference's restart branch returns before the milestone one)
         decays = []
-        for s, seg_start in enumerate(restarts):
+        for seg_start in restarts:
             local = [m for m in milestones if m > seg_start]
             decays.append(sum((step >= m).astype(jnp.int32)
                               for m in local) if local else
                           jnp.zeros((), jnp.int32))
         n_decays = jnp.take(jnp.stack([jnp.asarray(d) for d in decays]),
                             seg)
-        return weight * (gamma ** n_decays.astype(jnp.float32))
+        return base_lr * weight * (gamma ** n_decays.astype(jnp.float32))
 
-    return schedule
+    return lr_fn
 
 
-def cosine_annealing_restart_schedule(periods, restart_weights=(1,),
-                                      eta_min_ratio=0.0):
-    """Cosine annealing with restarts (lr_scheduler.py:50-107).
+def cosine_annealing_restart_schedule(period, restarts=(),
+                                      restart_weights=(), eta_min=0.0):
+    """Cosine annealing with restarts (CosineAnnealingRestartLR :50-107),
+    reference schema: ``period`` has one more element than ``restarts``
+    (absolute restart iterations, ascending); segment i runs from
+    restart i-1 (or 0) with period[i] and weight restart_weights[i-1]
+    (1 before the first restart). ``eta_min`` is an ABSOLUTE minimum LR
+    applied per group.
 
-    ``periods[i]`` is the length of cycle i; ``restart_weights[i]`` scales
-    the cycle's peak. ``eta_min_ratio`` is eta_min as a fraction of the
-    base LR."""
-    assert len(periods) == len(restart_weights)
-    cumulative = [sum(periods[:i + 1]) for i in range(len(periods))]
-    starts = [0] + cumulative[:-1]
+        lr = eta_min + w * 0.5 * (base_lr - eta_min)
+                     * (1 + cos(pi * (step - nearest_restart) / period))
 
-    def schedule(step):
+    Faithfully NOT clipped at the period end: past it the cosine rises
+    again, exactly as the reference's closed form does.
+    """
+    period = list(period)
+    restarts = list(restarts)
+    restart_weights = [float(w) for w in restart_weights]
+    assert len(restarts) == len(restart_weights), \
+        'restarts and their weights do not match.'
+    assert len(period) - len(restarts) == 1, \
+        'period should have one more element then restarts.'
+    starts = [0] + restarts
+    weights = [1.0] + restart_weights
+
+    def lr_fn(step, base_lr):
         step = jnp.asarray(step)
-        idx = jnp.minimum(
-            sum((step >= c).astype(jnp.int32) for c in cumulative),
-            len(periods) - 1)
-        start = jnp.take(jnp.asarray(starts), idx)
-        period = jnp.take(jnp.asarray(periods), idx)
-        weight = jnp.take(jnp.asarray([float(w) for w in restart_weights]),
-                          idx)
-        t = jnp.clip(step - start, 0, period).astype(jnp.float32)
-        return (eta_min_ratio + weight * 0.5 * (1 - eta_min_ratio) *
-                (1 + jnp.cos(math.pi * t / period.astype(jnp.float32))))
+        seg = sum((step >= r).astype(jnp.int32) for r in restarts) \
+            if restarts else jnp.zeros((), jnp.int32)
+        start = jnp.take(jnp.asarray(starts), seg)
+        t_per = jnp.take(jnp.asarray([float(p) for p in period]), seg)
+        weight = jnp.take(jnp.asarray(weights), seg)
+        t = (step - start).astype(jnp.float32)
+        return (eta_min + weight * 0.5 * (base_lr - eta_min)
+                * (1 + jnp.cos(math.pi * t / t_per)))
 
-    return schedule
+    return lr_fn
 
 
-def with_warmup(schedule, warmup_iter=-1):
+def with_warmup(lr_fn, warmup_iter=-1):
     """Linear LR warmup over the first ``warmup_iter`` steps
-    (base_model.py:155-177); -1 disables."""
+    (base_model.py:155-177); -1 disables. Scales the whole scheduled LR
+    (including any eta_min floor), as the reference's warmup does."""
     if warmup_iter is None or warmup_iter <= 0:
-        return schedule
+        return lr_fn
 
-    def warmed(step):
+    def warmed(step, base_lr):
         step = jnp.asarray(step)
-        base = schedule(step)
         scale = jnp.where(step < warmup_iter,
                           (step.astype(jnp.float32) + 1) / warmup_iter, 1.0)
-        return base * scale
+        return lr_fn(step, base_lr) * scale
 
     return warmed
 
 
 def build_schedule(train_opt):
-    """Build the schedule multiplier from the YAML ``train`` block
+    """Build lr_fn(step, base_lr) from the YAML ``train`` block
     (base_model.py:77-108 dispatch on lr_scheme)."""
     scheme = train_opt.get('lr_scheme', 'MultiStepLR') or 'MultiStepLR'
     if scheme in ('MultiStepLR', 'MultiStepRestartLR'):
@@ -99,10 +130,10 @@ def build_schedule(train_opt):
             restart_weights=train_opt.get('restart_weights') or [1])
     elif scheme == 'CosineAnnealingRestartLR':
         sched = cosine_annealing_restart_schedule(
-            train_opt['periods'],
-            restart_weights=train_opt.get('restart_weights') or [1],
-            eta_min_ratio=(train_opt.get('eta_min', 0) or 0) /
-            max(train_opt.get('lr_g', 1e-4) or 1e-4, 1e-12))
+            train_opt['period'],
+            restarts=train_opt.get('restarts') or [],
+            restart_weights=train_opt.get('restart_weights') or [],
+            eta_min=float(train_opt.get('eta_min', 0) or 0))
     else:
         raise NotImplementedError(f'lr_scheme {scheme} is not implemented.')
     return with_warmup(sched, train_opt.get('warmup_iter', -1))

@@ -267,21 +267,33 @@ class RefRestorationModel(SRModel):
             if l_g_style is not None:
                 total += l_g_style
                 logs['l_g_style'] = l_g_style
+        new_bstats = None
         if with_gan and d_vars is not None:
-            fake_pred = self.net_d.apply(d_vars, output, train=False)
+            # reference parity: fake_g_pred = net_d(output) with net_d in
+            # TRAIN mode (ref_restoration_model.py:263) — BN normalizes
+            # by the fake batch's own statistics, so the G gradient flows
+            # through batch-stat normalization (running averages never
+            # enter train-mode BN output); the running-stat update from
+            # this pass persists into d_vars, as in torch. (The GP pass's
+            # stat update is still discarded — running averages never
+            # affect training dynamics, only the stored D checkpoint.)
+            fake_pred, new_state = self.net_d.apply(
+                d_vars, output, train=True, mutable=['batch_stats'])
+            new_bstats = new_state['batch_stats']
             l_g_gan = gan_loss(fake_pred, True, self.gan_type,
                                loss_weight=self.gan_weight, is_disc=False)
             total += l_g_gan
             logs['l_g_gan'] = l_g_gan
-        return total, logs
+        return total, logs, new_bstats
 
     def _g_losses(self, g_params, batch, pre_offset, ref_feat, d_vars,
                   perceptual_vars, with_gan):
         output = self.net_g.apply({'params': g_params}, batch['img_in_lq'],
                                   pre_offset, ref_feat)
-        total, logs = self._out_losses(output, batch['img_in'], d_vars,
-                                       perceptual_vars, with_gan)
-        return total, (logs, output)
+        total, logs, bstats = self._out_losses(output, batch['img_in'],
+                                               d_vars, perceptual_vars,
+                                               with_gan)
+        return total, (logs, output, bstats)
 
     def _d_loss_fn(self, d_params, other, gt, fake, rng):
         """WGAN D loss (real/fake + gradient penalty,
@@ -385,14 +397,16 @@ class RefRestorationModel(SRModel):
         @jax.jit
         def step(g_params, opt_state, batch, pre_offset, ref_feat, d_vars,
                  perceptual_vars):
-            (l_g, (logs, output)), grads = jax.value_and_grad(
+            (l_g, (logs, output, bstats)), grads = jax.value_and_grad(
                 self._g_losses, has_aux=True)(
                     g_params, batch, pre_offset, ref_feat, d_vars,
                     perceptual_vars, self.net_d is not None)
             updates, opt_state = self.tx_g.update(grads, opt_state,
                                                   g_params)
             g_params = optax.apply_updates(g_params, updates)
-            return g_params, opt_state, output, logs
+            if bstats is not None:
+                d_vars = dict(d_vars, batch_stats=bstats)
+            return g_params, opt_state, output, logs, d_vars
 
         return step
 
@@ -450,15 +464,19 @@ class RefRestorationModel(SRModel):
 
             if do_g:
                 def out_loss(out):
-                    return self._out_losses(out, batch['img_in'], d_vars,
-                                            perceptual_vars, with_d)
+                    total, g_logs, bstats = self._out_losses(
+                        out, batch['img_in'], d_vars, perceptual_vars,
+                        with_d)
+                    return total, (g_logs, bstats)
 
-                (l_g, g_logs), dout = jax.value_and_grad(
+                (l_g, (g_logs, bstats)), dout = jax.value_and_grad(
                     out_loss, has_aux=True)(output)
                 grads_g = g_vjp(
                     (dout, jax.tree.map(jnp.zeros_like, stats)))[0]
                 updates, opt_g = self.tx_g.update(grads_g, opt_g, g_params)
                 g_params = optax.apply_updates(g_params, updates)
+                if bstats is not None:
+                    d_vars = dict(d_vars, batch_stats=bstats)
                 logs.update(g_logs)
 
             return g_params, opt_g, d_vars, opt_d, fake, logs

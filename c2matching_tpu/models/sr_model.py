@@ -4,6 +4,7 @@ Parity target: mmsr/models/sr_model.py (:20-220): Adam over net_g, pixel
 (+ optional perceptual) loss, PSNR validation loop with image dumps. The
 x8 self-ensemble (test_x8, :123-158) is provided as a flag on test().
 """
+import functools
 import logging
 import os.path as osp
 
@@ -118,29 +119,40 @@ class SRModel(BaseModel):
         # keep device arrays; MessageLogger converts at print time
         self.log_dict = logs
 
+    # eval forwards are jitted lazily (one executable per input shape,
+    # cached by jax) — eager apply would pay one tunnel roundtrip per
+    # primitive on the real TPU (CLAUDE.md platform gotchas)
+    @functools.cached_property
+    def _eval_fwd(self):
+        return jax.jit(
+            lambda p, x: self.net_g.apply({'params': p}, x))
+
+    @functools.cached_property
+    def _eval_fwd_x8(self):
+        def ensemble(p, lq):
+            outs = []
+            for rot in range(4):
+                xr = jnp.rot90(lq, k=rot, axes=(1, 2))
+                for flip in (False, True):
+                    xf = jnp.flip(xr, axis=2) if flip else xr
+                    y = self.net_g.apply({'params': p}, xf)
+                    if flip:
+                        y = jnp.flip(y, axis=2)
+                    y = jnp.rot90(y, k=-rot, axes=(1, 2))
+                    outs.append(y)
+            return sum(outs) / len(outs)
+
+        return jax.jit(ensemble)
+
     def test(self):
-        self.output = self.net_g.apply(
-            {'params': self.vars_g['params']}, self.batch['img_in_lq'])
+        self.output = self._eval_fwd(self.vars_g['params'],
+                                     self.batch['img_in_lq'])
 
     def test_x8(self):
         """x8 self-ensemble: average the outputs over the 8 dihedral
-        transforms of the input (sr_model.py:123-158)."""
-        lq = self.batch['img_in_lq']
-
-        def fwd(x):
-            return self.net_g.apply({'params': self.vars_g['params']}, x)
-
-        outs = []
-        for rot in range(4):
-            xr = jnp.rot90(lq, k=rot, axes=(1, 2))
-            for flip in (False, True):
-                xf = jnp.flip(xr, axis=2) if flip else xr
-                y = fwd(xf)
-                if flip:
-                    y = jnp.flip(y, axis=2)
-                y = jnp.rot90(y, k=-rot, axes=(1, 2))
-                outs.append(y)
-        self.output = sum(outs) / len(outs)
+        transforms of the input (sr_model.py:123-158), one fused jit."""
+        self.output = self._eval_fwd_x8(self.vars_g['params'],
+                                        self.batch['img_in_lq'])
 
     # -------- shared validation loop (sr_model.py:164-208 pattern,
     # extended with PSNR_Y/SSIM_Y by RefRestorationModel :295-370)

@@ -120,19 +120,34 @@ def resize_flow(flow, size_type, sizes, method='bilinear'):
     ratio_h = output_h / flow_h
     ratio_w = output_w / flow_w
     scaled = flow * jnp.asarray([ratio_w, ratio_h], flow.dtype)
-    return jax.image.resize(scaled, (b, output_h, output_w, 2), method)
+    # torch F.interpolate(bilinear, align_corners=False) semantics with
+    # NO antialiasing (jax.image.resize antialiases on downscale, and
+    # its window-op lowering trips the TPU fusion emitter — CLAUDE.md)
+    if method != 'bilinear':
+        raise NotImplementedError(method)
+    from .resize import bilinear_resize
+    return bilinear_resize(scaled, output_h, output_w)
 
 
 def flow_warp(x, flow):
     """Bilinear warp of x:(B, H, W, C) by flow:(B, H, W, 2) ((x, y) order),
-    zero padding. Mirrors arch_util.flow_warp's grid_sample semantics
-    (align_corners=False normalization round trip reduces to sampling at
-    grid + flow with zero padding)."""
+    zero padding. Exact arch_util.flow_warp (:191-220) semantics: the
+    reference normalizes v -> 2v/max(W-1,1) - 1 and samples with
+    F.grid_sample(align_corners=False), whose un-normalization is
+    pix = ((u+1)*W - 1)/2 — i.e. it actually samples at
+    v*W/(W-1) - 0.5 per axis (a border-growing rescale, NOT plain
+    grid + flow; at v=0 it reads -0.5, halving the border value under
+    zero padding). Unused by the model family (BasicSR carry-over, no
+    call sites upstream) but kept numerically faithful as exported API.
+    """
     b, h, w, c = x.shape
     grid_y = jnp.arange(h, dtype=jnp.float32)[:, None]
     grid_x = jnp.arange(w, dtype=jnp.float32)[None, :]
-    sy = grid_y + flow[..., 1]
-    sx = grid_x + flow[..., 0]
+    vy = grid_y + flow[..., 1]
+    vx = grid_x + flow[..., 0]
+    # torch round trip: u = 2v/max(n-1,1) - 1; pix = ((u+1)*n - 1)/2
+    sy = vy * (h / max(h - 1, 1)) - 0.5
+    sx = vx * (w / max(w - 1, 1)) - 0.5
 
     def sample_one(img, sy, sx):
         y0 = jnp.floor(sy)

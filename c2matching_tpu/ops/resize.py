@@ -39,6 +39,36 @@ def _axis_lerp(x, axis, factor):
     return x0 * (1.0 - frac) + x1 * frac
 
 
+def _axis_resize(x, axis, out_n):
+    """1-D bilinear resample along ``axis`` to an arbitrary size with
+    half-pixel centers (torch F.interpolate align_corners=False; NO
+    antialiasing even when downscaling — torch's bilinear does not
+    antialias, unlike jax.image.resize). Same gather+lerp formulation as
+    _axis_lerp (no window ops on TPU)."""
+    n = x.shape[axis]
+    scale = n / out_n
+    coords = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * scale - 0.5
+    coords = jnp.clip(coords, 0.0, float(n - 1))
+    i0f = jnp.floor(coords)
+    frac = coords - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_n
+    frac = frac.reshape(shape).astype(x.dtype)
+    return x0 * (1.0 - frac) + x1 * frac
+
+
+@functools.partial(jax.jit, static_argnames=('out_h', 'out_w'))
+def bilinear_resize(x, out_h, out_w):
+    """NHWC bilinear resample to (out_h, out_w), torch
+    F.interpolate(mode='bilinear', align_corners=False) semantics for
+    any scale (up or down), separable H then W."""
+    return _axis_resize(_axis_resize(x, 1, out_h), 2, out_w)
+
+
 @functools.partial(jax.jit, static_argnames=('factor', 'method'))
 def upscale(x, factor=4, method='bilinear'):
     """Upsample NHWC by an integer factor.

@@ -170,3 +170,30 @@ def test_restoration_gather_dtype_bf16_close():
     b = netbf.apply(params, lr_img, pre_offset, ref_feat)
     scale = float(jnp.max(jnp.abs(a)))
     assert float(jnp.max(jnp.abs(a - b))) < 0.03 * scale
+
+
+def test_spectral_norm_eval_without_mutable():
+    """torch parity in EVAL: apply() without mutable=['spectral_stats']
+    must neither crash nor power-iterate — it reuses the stored (u, v)
+    exactly as torch's spectral_norm does with module.training=False."""
+    import jax
+    import jax.numpy as jnp
+    from c2matching_tpu.models.archs.arch_util import ResidualBlockNoBN
+
+    block = ResidualBlockNoBN(nf=8, sn=True)
+    x = jnp.asarray(np.random.RandomState(3).rand(1, 6, 6, 8),
+                    jnp.float32)
+    variables = block.init(jax.random.PRNGKey(0), x)
+
+    out1 = block.apply(variables, x)           # eval: no mutable
+    out2 = block.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert np.isfinite(np.asarray(out1)).all()
+
+    # one train-mode forward advances (u, v); eval after it differs
+    out3, new_vars = block.apply(variables, x,
+                                 mutable=['spectral_stats'])
+    merged = {'params': variables['params'], **new_vars}
+    out4 = block.apply(merged, x)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out4),
+                               rtol=1e-5, atol=1e-6)

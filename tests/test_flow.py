@@ -58,3 +58,63 @@ def test_match_to_pre_offsets_shapes():
     assert offs['relu3_1'].shape == (9, h + 2, w + 2, 2)
     assert offs['relu2_1'].shape == (9, 2 * (h + 2), 2 * (w + 2), 2)
     assert offs['relu1_1'].shape == (9, 4 * (h + 2), 4 * (w + 2), 2)
+
+
+def test_flow_warp_matches_torch_grid_sample():
+    """Exact parity with the reference's flow_warp semantics
+    (arch_util.py:191-220): grid + flow normalized by 2v/(W-1)-1 into
+    F.grid_sample(bilinear, zeros, align_corners=False)."""
+    import torch
+    import torch.nn.functional as F
+    from c2matching_tpu.ops.flow import flow_warp
+
+    rng = np.random.RandomState(0)
+    x = rng.rand(2, 7, 9, 3).astype(np.float32)          # NHWC
+    flow = (rng.rand(2, 7, 9, 2) * 4 - 2).astype(np.float32)
+
+    got = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow)))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)          # NCHW
+    ft = torch.from_numpy(flow)
+    h, w = 7, 9
+    gy, gx = torch.meshgrid(torch.arange(h).float(),
+                            torch.arange(w).float())
+    grid = torch.stack((gx, gy), 2)
+    vgrid = grid + ft
+    vx = 2.0 * vgrid[..., 0] / max(w - 1, 1) - 1.0
+    vy = 2.0 * vgrid[..., 1] / max(h - 1, 1) - 1.0
+    ref = F.grid_sample(xt, torch.stack((vx, vy), dim=3),
+                        mode='bilinear', padding_mode='zeros',
+                        align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_flow_matches_torch_interpolate():
+    """resize_flow == the reference's F.interpolate(bilinear,
+    align_corners=False) with value rescaling (arch_util.py:224-267),
+    both up- and downscaling (torch does NOT antialias)."""
+    import torch
+    import torch.nn.functional as F
+    from c2matching_tpu.ops.flow import resize_flow
+
+    rng = np.random.RandomState(1)
+    flow = (rng.rand(2, 8, 12, 2) * 6 - 3).astype(np.float32)
+
+    for size_type, sizes in (('ratio', (0.5, 0.5)), ('ratio', (2.0, 2.0)),
+                             ('shape', (5, 9))):
+        got = np.asarray(resize_flow(jnp.asarray(flow), size_type, sizes))
+
+        ft = torch.from_numpy(flow).permute(0, 3, 1, 2).clone()  # N2HW
+        fh, fw = 8, 12
+        if size_type == 'ratio':
+            oh, ow = int(fh * sizes[0]), int(fw * sizes[1])
+        else:
+            oh, ow = sizes
+        ft[:, 0] *= ow / fw
+        ft[:, 1] *= oh / fh
+        ref = F.interpolate(ft, size=(oh, ow), mode='bilinear',
+                            align_corners=False)
+        ref = ref.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6,
+                                   err_msg=f'{size_type} {sizes}')

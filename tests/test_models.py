@@ -293,9 +293,11 @@ def test_stage3_gan_fused_step_matches_unfused(synth_root, tmp_path):
     out, _ = model._forward(g0, model.batch['img_in_lq'], pre, rf)
     d1, od1, d_logs = model._d_step(cp(d0), cp(od0),
                                     model.batch['img_in'], out, rng)
-    g1, og1, out1, g_logs = model._g_step(cp(g0), cp(og0), model.batch,
-                                          pre, rf, d1,
-                                          model.vars_perceptual)
+    # _g_step also returns d_vars with the G-pass BN stat update (the
+    # reference's fake_g_pred = net_d(output) runs in train mode)
+    g1, og1, out1, g_logs, d1 = model._g_step(cp(g0), cp(og0), model.batch,
+                                              pre, rf, d1,
+                                              model.vars_perceptual)
 
     # --- fused
     g2, og2, d2, od2, out2, logs2 = model._gan_step(
