@@ -15,9 +15,11 @@ forward/backward flow becomes jitted step functions:
   :234-269). The G gradient is the vjp of the loss-on-output cotangent,
   so the G forward runs exactly once per iteration (the reference
   retains one autograd graph the same way); the GAN-G term reads the
-  UPDATED discriminator, matching the reference's update order. The
-  (net_d_steps, net_d_init_steps) gating (:241-242) enters as a static
-  ``do_g`` flag.
+  UPDATED discriminator, matching the reference's update order, and runs
+  it in TRAIN mode (BN batch statistics, running stats persisted) —
+  exactly the reference's ``fake_g_pred = net_d(output)`` with net_d
+  never leaving train mode (:263). The (net_d_steps, net_d_init_steps)
+  gating (:241-242) enters as a static ``do_g`` flag.
 
 ``_build_d_step``/``_build_g_step``/``_build_forward`` retain the
 round-1 unfused steps; tests pin fused-vs-unfused equivalence on them.
