@@ -32,6 +32,11 @@ def create_dataloader(dataset, dataset_opt, num_processes=1, rank=0,
     phase = dataset_opt['phase']
     if phase == 'train':
         batch_size = dataset_opt['batch_size'] // num_processes
+        if batch_size < 1:
+            raise ValueError(
+                f"batch_size {dataset_opt['batch_size']} < "
+                f'{num_processes} processes: the per-process batch '
+                f'would be 0 (torch DataLoader rejects this too)')
         num_workers = dataset_opt.get('n_workers', 1) or 1
         shuffle = dataset_opt.get('use_shuffle', True)
         if sampler is not None:
@@ -48,7 +53,9 @@ def create_dataloader(dataset, dataset_opt, num_processes=1, rank=0,
 def create_train_sampler(dataset, dataset_opt, num_processes=1, rank=0):
     """EnlargedIterSampler when running multi-process (the DistIterSampler
     analog, train.py:93-98)."""
-    ratio = dataset_opt.get('dataset_enlarge_ratio', 100) or 100
+    # reference default is 1 (train.py:87) — must agree with the epoch
+    # math in mmsr/train.py, which also defaults the ratio to 1
+    ratio = dataset_opt.get('dataset_enlarge_ratio', 1) or 1
     return EnlargedIterSampler(len(dataset), num_replicas=num_processes,
                                rank=rank, ratio=ratio)
 

@@ -4,6 +4,15 @@ Replaces torch.utils.data.DataLoader (mmsr/data/__init__.py:44-93) with a
 thread-pool loader producing stacked numpy NHWC batches ready for device
 put. JAX-native: no worker processes, no torch collate — items are
 prefetched concurrently (PIL/cv2 release the GIL) and stacked with numpy.
+
+Determinism caveat: the datasets draw train-time augmentations from the
+GLOBAL np.random/random state (same call sequence as the reference —
+the homography parity tests depend on it), so with num_workers > 1 the
+thread interleaving makes per-sample draws run-to-run nondeterministic.
+The sample ORDER stays deterministic (epoch-seeded). For bit-exact
+reproduction of a run, set n_workers: 1 (the reference's multi-worker
+runs are only reproducible per fixed worker count for the same reason —
+each torch worker owns a forked RNG).
 """
 import itertools
 import queue
@@ -97,14 +106,24 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__,
-                                          batch_idx))
-                    out_q.put(self.collate_fn(items))
-            out_q.put(None)
+            # the sentinel/exception put lives in a finally: a raising
+            # dataset.__getitem__ must reach the consumer as the error,
+            # not leave it blocked on out_q.get() forever (torch's
+            # DataLoader likewise re-raises worker errors)
+            err = None
+            try:
+                with ThreadPoolExecutor(
+                        max_workers=self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              batch_idx))
+                        out_q.put(self.collate_fn(items))
+            except BaseException as e:  # noqa: BLE001 - forwarded
+                err = e
+            finally:
+                out_q.put(err)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -113,6 +132,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -61,12 +61,13 @@ def paired_paths_from_folder(folders, keys, filename_tmpl='{}'):
     assert len(input_paths) == len(ref_paths), (
         f'{input_key} and {ref_key} datasets have different number of '
         f'images: {len(input_paths)}, {len(ref_paths)}.')
+    input_path_set = set(input_paths)  # O(1) membership (11k-file CUFED)
     paths = []
     for ref_path in ref_paths:
         basename, ext = osp.splitext(osp.basename(ref_path))
         input_name = f'{filename_tmpl.format(basename)}{ext}'
         input_path = osp.join(input_folder, input_name)
-        assert input_name in input_paths, (
+        assert input_name in input_path_set, (
             f'{input_name} is not in {input_key}_paths.')
         paths.append({
             f'{input_key}_path': input_path,
@@ -88,10 +89,15 @@ def paired_paths_from_lmdb(folders, keys):
             f'{input_key} folder and {ref_key} folder should both in lmdb '
             f'formats. But received {input_key}: {input_folder}; '
             f'{ref_key}: {ref_folder}')
+    # reference key parsing (mmsr/data/util.py:134): first token, then
+    # strip the extension — keys without a '.' must not swallow the
+    # shape/compression columns
     with open(osp.join(input_folder, 'meta_info.txt')) as fin:
-        input_keys = [line.split('.')[0] for line in fin]
+        input_keys = [line.split(' ')[0].split('.')[0]
+                      for line in fin if line.strip()]
     with open(osp.join(ref_folder, 'meta_info.txt')) as fin:
-        ref_keys = [line.split('.')[0] for line in fin]
+        ref_keys = [line.split(' ')[0].split('.')[0]
+                    for line in fin if line.strip()]
     if set(input_keys) != set(ref_keys):
         raise ValueError('Keys in input_folder and ref_folder are different.')
     return [{f'{input_key}_path': k, f'{ref_key}_path': k}

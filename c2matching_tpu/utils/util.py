@@ -38,17 +38,25 @@ def make_exp_dirs(opt):
 
 
 def check_resume(opt, resume_iter):
-    """When resuming, point pretrain paths at the matching iter checkpoints."""
+    """When resuming, point pretrain paths at the matching iter checkpoints
+    (both the msgpack ``.ckpt`` files and the opt-in orbax ``.orbax``
+    directories — resuming an orbax run must not silently fall back to
+    the stale pretrain weights)."""
     if opt['path'].get('resume_state', None):
         for net in ('g', 'd', 'student', 'teacher', 'feature_extractor'):
             key = f'pretrain_model_{net}'
-            if opt['path'].get(key, None) is not None:
-                print(f'[resume] ignoring {key}; using resume-state nets.',
-                      flush=True)
             name = {'feature_extractor': 'extractor'}.get(net, net)
-            candidate = osp.join(opt['path']['models'],
-                                 f'net_{name}_{resume_iter}.ckpt')
-            if osp.exists(candidate):
+            candidate = None
+            for suffix in ('ckpt', 'orbax'):
+                path = osp.join(opt['path']['models'],
+                                f'net_{name}_{resume_iter}.{suffix}')
+                if osp.exists(path):
+                    candidate = path
+                    break
+            if candidate is not None:
+                if opt['path'].get(key, None) is not None:
+                    print(f'[resume] ignoring {key}; using resume-state '
+                          f'nets.', flush=True)
                 opt['path'][key] = candidate
 
 

@@ -34,8 +34,13 @@ from c2matching_tpu.parallel import init_distributed
 from c2matching_tpu.utils import (MessageLogger, dict2str, dict_to_nonedict,
                                   get_root_logger, init_tb_logger,
                                   make_exp_dirs)
+from c2matching_tpu.utils.compile_cache import enable_persistent_cache
 from c2matching_tpu.utils.options import parse
 from c2matching_tpu.utils.util import check_resume
+
+# the fused train-step compiles are minutes through the remote-compile
+# tunnel; the persistent cache makes them a one-time cost per config
+enable_persistent_cache()
 
 
 def get_time_str():
@@ -148,15 +153,31 @@ def main():
     # optional device tracing: logger.trace_dir enables jax.profiler for
     # iterations [trace_start_iter, trace_start_iter + trace_n_iters)
     trace_dir = opt['logger'].get('trace_dir') if opt['logger'] else None
-    trace_start = (opt['logger'].get('trace_start_iter') or 10) \
-        if trace_dir else -1
-    trace_n = (opt['logger'].get('trace_n_iters') or 5) if trace_dir else 0
+    trace_start = -1
+    trace_n = 0
+    tracing = {'on': False}
+    if trace_dir:
+        trace_start = opt['logger'].get('trace_start_iter')
+        trace_start = 10 if trace_start is None else int(trace_start)
+        trace_n = opt['logger'].get('trace_n_iters')
+        trace_n = 5 if trace_n is None else int(trace_n)
+
+    def _stop_trace():
+        # also called at loop exit so a trace overlapping the end of
+        # training is finalized rather than left unreadable
+        if tracing['on']:
+            import jax
+            jax.profiler.stop_trace()
+            tracing['on'] = False
+            logger.info(f'profiler trace written to {trace_dir}')
 
     data_time, iter_time = time.time(), time.time()
 
     for epoch in range(start_epoch, total_epochs + 1):
-        if train_sampler is not None:
-            train_loader.set_epoch(epoch)
+        # always re-seed the epoch: the plain-shuffle path (no sampler)
+        # must reshuffle per epoch like the torch DataLoader, not replay
+        # the epoch-0 permutation
+        train_loader.set_epoch(epoch)
         for train_data in train_loader:
             data_time = time.time() - data_time
 
@@ -166,17 +187,17 @@ def main():
             if trace_dir and current_iter == trace_start:
                 import jax
                 jax.profiler.start_trace(trace_dir)
+                tracing['on'] = True
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
-            if trace_dir and current_iter == trace_start + trace_n:
-                import jax
-                jax.profiler.stop_trace()
-                logger.info(f'profiler trace written to {trace_dir}')
+            if tracing['on'] and current_iter >= trace_start + trace_n:
+                _stop_trace()
             iter_time = time.time() - iter_time
 
             if preempted['flag']:
                 logger.info('Saving models and training states '
                             '(preemption).')
+                _stop_trace()
                 model.save(epoch, current_iter)
                 return
 
@@ -203,6 +224,7 @@ def main():
         if current_iter > total_iters:
             break
 
+    _stop_trace()
     logger.info('End of training.')
     logger.info('Saving the latest model.')
     model.save(epoch=-1, current_iter=-1)

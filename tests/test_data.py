@@ -137,3 +137,25 @@ def test_dataloader_batching(synth_root):
     assert len(batches) == 2
     assert batches[0]['img_in'].shape == (2, 160, 160, 3)
     assert batches[0]['img_in_lq'].shape == (2, 40, 40, 3)
+
+
+def test_loader_propagates_worker_errors():
+    """A raising __getitem__ must surface in the consumer (torch
+    DataLoader re-raises worker errors) — not strand it on a queue
+    forever with a dead producer thread."""
+    from c2matching_tpu.data.loader import DataLoader
+
+    class Flaky:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, idx):
+            if idx == 3:
+                raise RuntimeError('corrupt sample')
+            return {'x': np.zeros((2, 2), np.float32)}
+
+    loader = DataLoader(Flaky(), batch_size=2, shuffle=False,
+                        num_workers=2)
+    with pytest.raises(RuntimeError, match='corrupt sample'):
+        for _ in loader:
+            pass
