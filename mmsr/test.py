@@ -28,7 +28,12 @@ from c2matching_tpu.data import create_dataloader, create_dataset
 from c2matching_tpu.models import create_model
 from c2matching_tpu.utils import (dict2str, dict_to_nonedict,
                                   get_root_logger, make_exp_dirs)
+from c2matching_tpu.utils.compile_cache import enable_persistent_cache
 from c2matching_tpu.utils.options import parse
+
+# eval-bucket compiles are minutes through the remote-compile tunnel;
+# the persistent cache makes them a one-time cost per bucket shape
+enable_persistent_cache()
 
 
 def get_time_str():
