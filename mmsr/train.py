@@ -184,6 +184,16 @@ def main():
             current_iter += 1
             if current_iter > total_iters:
                 break
+            if preempted['flag']:
+                # signal landed between iterations: save NOW instead of
+                # paying for one more step first (a first-compile there
+                # can cost minutes — longer than a preemption grace
+                # window). current_iter-1 is the last completed step.
+                logger.info('Saving models and training states '
+                            '(preemption).')
+                _stop_trace()
+                model.save(epoch, current_iter - 1)
+                return
             if trace_dir and current_iter == trace_start:
                 import jax
                 jax.profiler.start_trace(trace_dir)
