@@ -55,3 +55,30 @@ def test_test_config_parses(path, monkeypatch, tmp_path):
     assert not opt['is_train']
     assert opt['scale'] == 4
     _check_registries(opt, is_train=False)
+
+
+def test_check_resume_points_at_matching_ckpts(tmp_path):
+    """check_resume must redirect pretrain paths to the resume-iter
+    checkpoints for BOTH backends: msgpack .ckpt files and opt-in orbax
+    .orbax directories (reference semantics: utils/util.py check_resume
+    overrides pretrain_model_* whenever resume_state is set)."""
+    from c2matching_tpu.utils.util import check_resume
+
+    models = tmp_path / 'models'
+    models.mkdir()
+    (models / 'net_g_7.ckpt').write_bytes(b'x')      # msgpack file
+    (models / 'net_d_7.orbax').mkdir()               # orbax directory
+    opt = {'path': {
+        'resume_state': str(tmp_path / '7.state'),
+        'models': str(models),
+        'pretrain_model_g': '/stale/pretrained_g.pth',
+        'pretrain_model_d': None,
+        'pretrain_model_feature_extractor': '/stale/extractor.pth',
+    }}
+    check_resume(opt, 7)
+    assert opt['path']['pretrain_model_g'] == str(models / 'net_g_7.ckpt')
+    assert opt['path']['pretrain_model_d'] == str(models / 'net_d_7.orbax')
+    # no checkpoint for the extractor at iter 7: the pretrain path must
+    # survive untouched (frozen nets are loaded from pretrain on resume)
+    assert (opt['path']['pretrain_model_feature_extractor']
+            == '/stale/extractor.pth')
