@@ -92,11 +92,13 @@ def paired_paths_from_lmdb(folders, keys):
     # reference key parsing (mmsr/data/util.py:134): first token, then
     # strip the extension — keys without a '.' must not swallow the
     # shape/compression columns
+    # whitespace split (not ' ') so a bare single-token line keeps no
+    # trailing newline in the key
     with open(osp.join(input_folder, 'meta_info.txt')) as fin:
-        input_keys = [line.split(' ')[0].split('.')[0]
+        input_keys = [line.split()[0].split('.')[0]
                       for line in fin if line.strip()]
     with open(osp.join(ref_folder, 'meta_info.txt')) as fin:
-        ref_keys = [line.split(' ')[0].split('.')[0]
+        ref_keys = [line.split()[0].split('.')[0]
                     for line in fin if line.strip()]
     if set(input_keys) != set(ref_keys):
         raise ValueError('Keys in input_folder and ref_folder are different.')

@@ -158,7 +158,10 @@ def main():
     tracing = {'on': False}
     if trace_dir:
         trace_start = opt['logger'].get('trace_start_iter')
-        trace_start = 10 if trace_start is None else int(trace_start)
+        # clamp to >=1: current_iter starts at 1, so a configured 0
+        # would otherwise never match and the trace silently never runs
+        trace_start = max(1, 10 if trace_start is None
+                          else int(trace_start))
         trace_n = opt['logger'].get('trace_n_iters')
         trace_n = 5 if trace_n is None else int(trace_n)
 
@@ -194,13 +197,16 @@ def main():
                 _stop_trace()
                 model.save(epoch, current_iter - 1)
                 return
-            if trace_dir and current_iter == trace_start:
+            if trace_dir and trace_n > 0 and current_iter == trace_start:
                 import jax
                 jax.profiler.start_trace(trace_dir)
                 tracing['on'] = True
             model.feed_data(train_data)
             model.optimize_parameters(current_iter)
-            if tracing['on'] and current_iter >= trace_start + trace_n:
+            # traced iterations are [trace_start, trace_start + trace_n):
+            # this check runs post-optimize, so stop once the last
+            # in-window iteration (trace_start + trace_n - 1) has run
+            if tracing['on'] and current_iter >= trace_start + trace_n - 1:
                 _stop_trace()
             iter_time = time.time() - iter_time
 
