@@ -34,8 +34,10 @@ class SpectralNormConv(nn.Module):
     ResidualBlockNoBN, arch_util.py:110-136): kernel / sigma_max, with
     sigma estimated by ``n_power_iterations`` of power iteration on a
     persisted left-singular vector u. u lives in the 'spectral_stats'
-    collection — pass mutable=['spectral_stats'] in training steps to
-    persist the iteration (torch updates u in train mode only). When
+    collection — training steps must pass it in ``mutable`` to persist
+    the iteration (torch updates u in train mode only); the stage-3
+    model threads every non-param collection of net_d automatically
+    (RefRestorationModel._d_state_keys). When
     ``sn_bias`` the bias is normalized by its exact sigma ||b||_2 (the
     fixed point torch's (O, 1)-matrix power iteration reaches after one
     step)."""
@@ -69,17 +71,17 @@ class SpectralNormConv(nn.Module):
         # the flax analog of module.training here — an eval
         # apply(variables, x) without mutable=['spectral_stats'] must
         # neither iterate nor write (it would crash on the write).
+        u, v = u_var.value, v_var.value
         if self.is_initializing() or \
                 self.is_mutable_collection('spectral_stats'):
-            u = u_var.value
+            # start from the STORED pair so n_power_iterations=0 reuses
+            # it exactly as torch's spectral_norm does
             for _ in range(self.n_power_iterations):
                 v = _l2_normalize(w_mat.T @ u)
                 u = _l2_normalize(w_mat @ v)
             if not self.is_initializing():
                 u_var.value = jax.lax.stop_gradient(u)
                 v_var.value = jax.lax.stop_gradient(v)
-        else:
-            u, v = u_var.value, v_var.value
         sigma = u @ (w_mat @ v)
         kernel = kernel / jax.lax.stop_gradient(sigma)
         if self.sn_bias:

@@ -104,16 +104,32 @@ def cosine_annealing_restart_schedule(period, restarts=(),
 
 def with_warmup(lr_fn, warmup_iter=-1):
     """Linear LR warmup over the first ``warmup_iter`` steps
-    (base_model.py:155-177); -1 disables. Scales the whole scheduled LR
-    (including any eta_min floor), as the reference's warmup does."""
+    (base_model.py:155-177); -1 disables.
+
+    Reference semantics: while current_iter < warmup_iter the LR is
+    ``initial_lr * current_iter / warmup_iter`` — the warmup REPLACES
+    the scheduler's value (update_learning_rate steps the scheduler,
+    then overwrites every group with the linear ramp of the INITIAL
+    lr, base_model.py:167-177), it does not scale it. The ramp here is
+    exactly that. ``step`` is 0-indexed (= current_iter - 1).
+
+    DELIBERATE deviation after the window: the reference's MultiStep
+    scheduler is MULTIPLICATIVE on the live group lr, so its warmup
+    overwrite permanently clobbers any decay whose milestone fell
+    inside the window and freezes the LR at the last ramp value until
+    the next restart (verified against the upstream classes in
+    tests/test_lr_scheduler.py). That is an upstream bug no shipped
+    config exercises (every reference YAML sets warmup_iter: -1);
+    here the closed-form schedule simply takes over once the ramp
+    ends, which is the intended warmup semantics."""
     if warmup_iter is None or warmup_iter <= 0:
         return lr_fn
 
     def warmed(step, base_lr):
         step = jnp.asarray(step)
-        scale = jnp.where(step < warmup_iter,
-                          (step.astype(jnp.float32) + 1) / warmup_iter, 1.0)
-        return lr_fn(step, base_lr) * scale
+        ramp = base_lr * (step.astype(jnp.float32) + 1) / warmup_iter
+        return jnp.where(step + 1 < warmup_iter, ramp,
+                         lr_fn(step, base_lr))
 
     return warmed
 

@@ -269,7 +269,7 @@ class RefRestorationModel(SRModel):
             if l_g_style is not None:
                 total += l_g_style
                 logs['l_g_style'] = l_g_style
-        new_bstats = None
+        new_dstate = None
         if with_gan and d_vars is not None:
             # reference parity: fake_g_pred = net_d(output) with net_d in
             # TRAIN mode (ref_restoration_model.py:263) — BN normalizes
@@ -279,35 +279,49 @@ class RefRestorationModel(SRModel):
             # this pass persists into d_vars, as in torch. (The GP pass's
             # stat update is still discarded — running averages never
             # affect training dynamics, only the stored D checkpoint.)
+            # ALL non-param collections are mutable in train mode, so a
+            # spectral-norm D's power iteration runs and persists here
+            # too (torch iterates on every train-mode forward).
             fake_pred, new_state = self.net_d.apply(
-                d_vars, output, train=True, mutable=['batch_stats'])
-            new_bstats = new_state['batch_stats']
+                d_vars, output, train=True,
+                mutable=self._d_state_keys(d_vars))
+            new_dstate = dict(new_state)
             l_g_gan = gan_loss(fake_pred, True, self.gan_type,
                                loss_weight=self.gan_weight, is_disc=False)
             total += l_g_gan
             logs['l_g_gan'] = l_g_gan
-        return total, logs, new_bstats
+        return total, logs, new_dstate
 
     def _g_losses(self, g_params, batch, pre_offset, ref_feat, d_vars,
                   perceptual_vars, with_gan):
         output = self.net_g.apply({'params': g_params}, batch['img_in_lq'],
                                   pre_offset, ref_feat)
-        total, logs, bstats = self._out_losses(output, batch['img_in'],
+        total, logs, dstate = self._out_losses(output, batch['img_in'],
                                                d_vars, perceptual_vars,
                                                with_gan)
-        return total, (logs, output, bstats)
+        return total, (logs, output, dstate)
+
+    @staticmethod
+    def _d_state_keys(d_vars):
+        """All non-param collections of net_d (batch_stats, and
+        spectral_stats when the sn option is on) — the set that is
+        mutable during train-mode D forwards and threaded through the
+        step (torch mutates BN running stats and the spectral-norm u
+        vector on every train-mode forward)."""
+        return [k for k in d_vars if k != 'params']
 
     def _d_loss_fn(self, d_params, other, gt, fake, rng):
         """WGAN D loss (real/fake + gradient penalty,
         ref_restoration_model.py:209-232); shared by the fused and
         unfused D steps."""
+        mutable = list(other)
         variables = dict(other, params=d_params)
         real_pred, new_state = self.net_d.apply(
-            variables, gt, train=True, mutable=['batch_stats'])
+            variables, gt, train=True, mutable=mutable)
         l_d_real = gan_loss(real_pred, True, self.gan_type, is_disc=True)
         fake_pred, new_state = self.net_d.apply(
             dict(new_state, params=d_params), fake, train=True,
-            mutable=['batch_stats'])
+            mutable=mutable)
         l_d_fake = gan_loss(fake_pred, False, self.gan_type, is_disc=True)
         l_d_total = l_d_real + l_d_fake
         logs = {'l_d_real': l_d_real, 'l_d_fake': l_d_fake,
@@ -320,7 +334,7 @@ class RefRestorationModel(SRModel):
                 # updates from this pass are discarded
                 out, _ = self.net_d.apply(
                     dict(other, params=d_params), x, train=True,
-                    mutable=['batch_stats'])
+                    mutable=mutable)
                 return out
 
             l_gp = gradient_penalty_loss(
@@ -328,7 +342,7 @@ class RefRestorationModel(SRModel):
                 loss_weight=self.grad_penalty_weight)
             l_d_total += l_gp
             logs['l_grad_penalty'] = l_gp
-        return l_d_total, (logs, new_state['batch_stats'])
+        return l_d_total, (logs, dict(new_state))
 
     def _g_forward_with_stats(self, g_params, img_in_lq, pre_offset,
                               ref_feat):
@@ -379,11 +393,11 @@ class RefRestorationModel(SRModel):
         """One discriminator update (traced; used by both step builders)."""
         d_params = d_vars['params']
         other = {k: v for k, v in d_vars.items() if k != 'params'}
-        (l_d, (logs, batch_stats)), grads = jax.value_and_grad(
+        (l_d, (logs, dstate)), grads = jax.value_and_grad(
             self._d_loss_fn, has_aux=True)(d_params, other, gt, fake, rng)
         updates, opt_state = self.tx_d.update(grads, opt_state, d_params)
         d_params = optax.apply_updates(d_params, updates)
-        new_vars = dict(other, params=d_params, batch_stats=batch_stats)
+        new_vars = dict(other, params=d_params, **dstate)
         return new_vars, opt_state, logs
 
     def _build_d_step(self):
@@ -399,15 +413,15 @@ class RefRestorationModel(SRModel):
         @jax.jit
         def step(g_params, opt_state, batch, pre_offset, ref_feat, d_vars,
                  perceptual_vars):
-            (l_g, (logs, output, bstats)), grads = jax.value_and_grad(
+            (l_g, (logs, output, dstate)), grads = jax.value_and_grad(
                 self._g_losses, has_aux=True)(
                     g_params, batch, pre_offset, ref_feat, d_vars,
                     perceptual_vars, self.net_d is not None)
             updates, opt_state = self.tx_g.update(grads, opt_state,
                                                   g_params)
             g_params = optax.apply_updates(g_params, updates)
-            if bstats is not None:
-                d_vars = dict(d_vars, batch_stats=bstats)
+            if dstate:
+                d_vars = dict(d_vars, **dstate)
             return g_params, opt_state, output, logs, d_vars
 
         return step
@@ -466,19 +480,19 @@ class RefRestorationModel(SRModel):
 
             if do_g:
                 def out_loss(out):
-                    total, g_logs, bstats = self._out_losses(
+                    total, g_logs, dstate = self._out_losses(
                         out, batch['img_in'], d_vars, perceptual_vars,
                         with_d)
-                    return total, (g_logs, bstats)
+                    return total, (g_logs, dstate)
 
-                (l_g, (g_logs, bstats)), dout = jax.value_and_grad(
+                (l_g, (g_logs, dstate)), dout = jax.value_and_grad(
                     out_loss, has_aux=True)(output)
                 grads_g = g_vjp(
                     (dout, jax.tree.map(jnp.zeros_like, stats)))[0]
                 updates, opt_g = self.tx_g.update(grads_g, opt_g, g_params)
                 g_params = optax.apply_updates(g_params, updates)
-                if bstats is not None:
-                    d_vars = dict(d_vars, batch_stats=bstats)
+                if dstate:
+                    d_vars = dict(d_vars, **dstate)
                 logs.update(g_logs)
 
             return g_params, opt_g, d_vars, opt_d, fake, logs

@@ -12,16 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _axis_lerp(x, axis, factor):
-    """1-D bilinear upsample along ``axis`` with half-pixel centers
-    (torch align_corners=False), written as two gathers + lerp.
+def _axis_resize(x, axis, out_n):
+    """1-D bilinear resample along ``axis`` to an arbitrary size with
+    half-pixel centers (torch F.interpolate align_corners=False; NO
+    antialiasing even when downscaling — torch's bilinear does not
+    antialias, unlike jax.image.resize), written as two gathers + lerp.
 
-    jax.image.resize lowers to a kernel-2/stride-1 window convolution that
-    trips the TPU fusion emitter's bounds==strides check when fused into a
-    larger program — this formulation avoids window ops entirely.
+    jax.image.resize lowers to a kernel-2/stride-1 window convolution
+    that trips the TPU fusion emitter's bounds==strides check when fused
+    into a larger program — this formulation avoids window ops entirely.
     """
     n = x.shape[axis]
-    coords = (jnp.arange(n * factor, dtype=jnp.float32) + 0.5) / factor - 0.5
+    scale = n / out_n
+    coords = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * scale - 0.5
     # clamp the SOURCE COORDINATE (not just the index): torch clamps
     # out-of-range half-pixel centers to the border sample, so the
     # fraction must be recomputed after clamping (coords < 0 -> x[0]
@@ -34,31 +37,16 @@ def _axis_lerp(x, axis, factor):
     x0 = jnp.take(x, i0, axis=axis)
     x1 = jnp.take(x, i1, axis=axis)
     shape = [1] * x.ndim
-    shape[axis] = n * factor
-    frac = frac.reshape(shape).astype(x.dtype)
-    return x0 * (1.0 - frac) + x1 * frac
-
-
-def _axis_resize(x, axis, out_n):
-    """1-D bilinear resample along ``axis`` to an arbitrary size with
-    half-pixel centers (torch F.interpolate align_corners=False; NO
-    antialiasing even when downscaling — torch's bilinear does not
-    antialias, unlike jax.image.resize). Same gather+lerp formulation as
-    _axis_lerp (no window ops on TPU)."""
-    n = x.shape[axis]
-    scale = n / out_n
-    coords = (jnp.arange(out_n, dtype=jnp.float32) + 0.5) * scale - 0.5
-    coords = jnp.clip(coords, 0.0, float(n - 1))
-    i0f = jnp.floor(coords)
-    frac = coords - i0f
-    i0 = i0f.astype(jnp.int32)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i1, axis=axis)
-    shape = [1] * x.ndim
     shape[axis] = out_n
     frac = frac.reshape(shape).astype(x.dtype)
     return x0 * (1.0 - frac) + x1 * frac
+
+
+def _axis_lerp(x, axis, factor):
+    """Integer-factor upsample = the exact special case
+    ``_axis_resize(x, axis, n*factor)`` (one border-semantics
+    implementation to maintain, not two)."""
+    return _axis_resize(x, axis, x.shape[axis] * factor)
 
 
 @functools.partial(jax.jit, static_argnames=('out_h', 'out_w'))

@@ -102,16 +102,20 @@ class Environment:
                 f'{path} is a real lmdb database; reading it requires the '
                 f'lmdb package (this is the in-repo fallback store, which '
                 f'uses its own format)')
-        os.makedirs(path, exist_ok=True)
         index_path = osp.join(path, _INDEX)
         data_path = osp.join(path, _DATA)
         if osp.exists(index_path):
             with io.open(index_path) as f:
                 self._index = json.load(f)
         elif readonly:
+            # before any filesystem side effect: real lmdb raises on a
+            # missing readonly path without creating anything — a typo'd
+            # dataroot must not leave a stray empty dir behind that a
+            # later writeable open would silently initialize
             raise Error(f'no fallback store at {path} (missing {_INDEX})')
         else:
             self._index = {}
+        os.makedirs(path, exist_ok=True)
         if readonly:
             self._data = io.open(data_path, 'rb')
         else:

@@ -133,20 +133,28 @@ def main():
 
     model = create_model(opt)
 
-    for phase, dataset_opt in sorted(opt['datasets'].items()):
-        if not phase.startswith('test'):
-            continue
+    test_phases = sorted(p for p in opt['datasets']
+                         if p.startswith('test'))
+    for phase in test_phases:
+        dataset_opt = opt['datasets'][phase]
         dataset = create_dataset(dataset_opt)
         n = len(dataset)
+        # one subdirectory per dataset when serving several phases —
+        # per-phase name indices restart at 0 and ref basenames can
+        # repeat across sets (CUFED5 + WR-SR), which would silently
+        # overwrite the earlier phase's outputs in a shared dir
+        phase_dir = (out_dir if len(test_phases) == 1 else
+                     osp.join(out_dir, str(dataset_opt['name'] or phase)))
+        os.makedirs(phase_dir, exist_ok=True)
         logger.info(f"serving {n} pairs from {dataset_opt['name']} "
-                    f'at batch {args.batch} -> {out_dir}')
+                    f'at batch {args.batch} -> {phase_dir}')
 
         t0 = time.time()
         served = 0
         with ThreadPoolExecutor(max_workers=2) as pool:
             stream = _prefetched(dataset, n, pool, window=2 * args.batch)
             for items, names in bucket_batches(stream, args.batch):
-                served += _flush(model, items, names, out_dir,
+                served += _flush(model, items, names, phase_dir,
                                  args.batch, logger)
         dt = time.time() - t0
         logger.info(f'{served} images in {dt:.1f}s end-to-end '

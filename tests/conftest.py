@@ -30,12 +30,14 @@ jax.config.update('jax_platforms', 'cpu')
 # persistent compile cache: the heavyweight full-model tests (fused GAN
 # step, full eval pipeline) each cost minutes of XLA CPU compile on this
 # host; repeat suite runs hit the cache instead. Only big compiles are
-# cached (>10 s) to keep the directory small.
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), '.xla_cache'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+# cached (>10 s) to keep the directory small. Shared helper so tests /
+# bench / CLIs agree on the location.
+import sys  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from c2matching_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache)
+enable_persistent_cache(min_compile_secs=10.0)
 
 assert jax.devices()[0].platform == 'cpu', (
     'tests must run on the virtual CPU platform')

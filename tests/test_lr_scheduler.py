@@ -11,7 +11,8 @@ import pytest
 import torch
 
 from c2matching_tpu.models.lr_scheduler import (
-    cosine_annealing_restart_schedule, multi_step_restart_schedule)
+    cosine_annealing_restart_schedule, multi_step_restart_schedule,
+    with_warmup)
 
 pytestmark = pytest.mark.fast
 
@@ -79,3 +80,52 @@ def test_cosine_restart_matches_reference_per_group():
         got = np.asarray([float(lr_fn(t, base)) for t in range(40)])
         np.testing.assert_allclose(got, want[:, g], rtol=1e-6,
                                    err_msg=f'group {g}')
+
+
+def test_warmup_replaces_scheduler_like_reference():
+    """Warmup REPLACES the scheduled LR with init_lr*iter/warmup_iter
+    (base_model.py:163-177) — it does not scale the scheduler's value.
+    Pinned with a milestone INSIDE the warmup window, where scaling and
+    replacing disagree by a factor of gamma.
+
+    The reference's own warmup is verified here to be PATHOLOGICAL past
+    the window: its MultiStep scheduler is multiplicative on the live
+    group lr, so the overwrite permanently clobbers the milestone decay
+    and the LR freezes at the last ramp value (no shipped config uses
+    warmup). The closed form matches the reference exactly DURING the
+    ramp and deliberately applies the intended schedule after it — see
+    with_warmup's docstring."""
+    ref = _ref_module()
+    base = 1e-3
+    milestones, gamma, warmup = [4], 0.1, 8
+    params = [torch.nn.Parameter(torch.zeros(1))]
+    opt = torch.optim.SGD([{'params': params, 'lr': base}])
+    sched = ref.MultiStepRestartLR(opt, milestones, gamma=gamma)
+    init_lrs = [g['initial_lr'] for g in opt.param_groups]
+
+    # transliteration of BaseModel.update_learning_rate(current_iter,
+    # warmup_iter): step the scheduler from iter 2 on, then overwrite
+    # with the linear ramp of the INITIAL lr while current_iter < warmup
+    want = []
+    for current_iter in range(1, 15):
+        if current_iter > 1:
+            sched.step()
+        if current_iter < warmup:
+            for g, ilr in zip(opt.param_groups, init_lrs):
+                g['lr'] = ilr / warmup * current_iter
+        want.append(opt.param_groups[0]['lr'])
+
+    lr_fn = with_warmup(
+        multi_step_restart_schedule(milestones, gamma=gamma),
+        warmup_iter=warmup)
+    got = [float(lr_fn(current_iter - 1, base))
+           for current_iter in range(1, 15)]
+
+    # iters 1..7 (the ramp): exact reference parity — warmup replaces,
+    # never scales (a scaling warmup would be 10x lower from iter 4 on)
+    np.testing.assert_allclose(got[:7], want[:7], rtol=1e-6)
+    # upstream pathology documented: the reference stays frozen at the
+    # last ramp value after the window (milestone decay clobbered)
+    np.testing.assert_allclose(want[7:], base * 7 / 8, rtol=1e-6)
+    # our deliberate deviation: the schedule takes over post-ramp
+    np.testing.assert_allclose(got[7:], base * gamma, rtol=1e-6)

@@ -375,3 +375,74 @@ def test_orbax_async_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(latest['params']['w']),
         np.asarray(variables2['params']['w']))
+
+
+def test_spectral_norm_d_state_threads_through_train_steps(synth_root,
+                                                           tmp_path):
+    """A spectral-norm discriminator's power iteration must RUN and
+    PERSIST during training: every train-mode D apply passes all
+    non-param collections as mutable (torch's spectral_norm updates u
+    on each train-mode forward). Regression test for spectral_stats
+    being silently frozen by mutable=['batch_stats']-only applies."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from c2matching_tpu.models import create_model
+    from c2matching_tpu.models.archs.arch_util import SpectralNormConv
+
+    class SNDisc(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = SpectralNormConv(features=4)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9)(x)
+            return jnp.mean(nn.relu(x), axis=(1, 2, 3))
+
+    opt = _mini_opt(synth_root, str(tmp_path), 'RefRestorationModel')
+    opt['network_g'] = dict_to_nd({'type': 'RestorationNet', 'ngf': 16,
+                                   'n_blocks': 1, 'groups': 8})
+    opt['network_d'] = dict_to_nd({'type': 'ImageDiscriminator',
+                                   'in_nc': 3, 'ndf': 4})
+    opt['network_map'] = dict_to_nd({
+        'type': 'CorrespondenceGenerationArch', 'patch_size': 3,
+        'stride': 1, 'vgg_layer_list': ['relu1_1', 'relu2_1', 'relu3_1'],
+        'vgg_type': 'vgg19'})
+    opt['network_extractor'] = dict_to_nd({'type': 'ContrasExtractorSep'})
+    opt['train'].update({
+        'pixel_criterion': 'L1Loss', 'pixel_weight': 1.0,
+        'gan_type': 'wgan', 'gan_weight': 1e-2,
+        'grad_penalty_weight': 10.0, 'lr_d': 1e-4,
+        'net_g_pretrain_steps': 0, 'net_d_steps': 1,
+        'net_d_init_steps': 0, 'lr_g': 1e-4,
+    })
+    model = create_model(opt)
+
+    # swap in the SN discriminator
+    rng = jax.random.PRNGKey(0)
+    gt = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    fake = jax.random.uniform(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    model.net_d = SNDisc()
+    d_vars = dict(model.net_d.init(rng, gt, train=True))
+    opt_d = model.tx_d.init(d_vars['params'])
+    assert 'spectral_stats' in d_vars
+
+    u0 = np.asarray(
+        d_vars['spectral_stats']['SpectralNormConv_0']['u'])
+    bn0 = np.asarray(d_vars['batch_stats']['BatchNorm_0']['mean'])
+
+    new_vars, _, logs = model._d_update(d_vars, opt_d, gt, fake,
+                                        jax.random.PRNGKey(3))
+    u1 = np.asarray(
+        new_vars['spectral_stats']['SpectralNormConv_0']['u'])
+    bn1 = np.asarray(new_vars['batch_stats']['BatchNorm_0']['mean'])
+    assert not np.allclose(u0, u1), 'power iteration did not persist'
+    assert not np.allclose(bn0, bn1), 'BN running stats did not persist'
+    assert np.isfinite(float(logs['l_d_real']))
+
+    # the G-side D pass must thread the same collections
+    total, g_logs, dstate = model._out_losses(
+        fake, gt, new_vars, model.vars_perceptual, with_gan=True)
+    assert set(dstate) >= {'spectral_stats', 'batch_stats'}
+    u2 = np.asarray(
+        dstate['spectral_stats']['SpectralNormConv_0']['u'])
+    assert not np.allclose(u1, u2), 'G-side power iteration frozen'
