@@ -60,7 +60,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .deform_conv import _base_grid, _mdc_fast_single
+from .deform_conv import (_base_grid, _mdc_fast_single,
+                          modulated_deform_conv, use_group_scan)
 
 MARGIN = 2  # zero-pad ring; window origin O = floor(anchor) - 1 >= -2
 
@@ -239,8 +240,11 @@ def modulated_deform_conv_windowed_chunked(x, offset, mask, weight,
         for ci in range(row_chunks):
             r0 = ci * rows_per
             oc = jax.lax.dynamic_slice_in_dim(oi, r0, rows_per, axis=0)
-            # globalize: sy = base_y(local) + ky + (dy + r0)
-            oc = oc.at[..., 0].add(jnp.float32(r0))
+            # globalize: sy = base_y(local) + ky + (dy + r0). In f32:
+            # adding a row origin >= 256 in bf16 would quantize away the
+            # learned sub-pixel dy residual (bf16 resolution is 2.0 at
+            # that magnitude); _window_prep keeps coordinates f32 anyway.
+            oc = oc.astype(jnp.float32).at[..., 0].add(jnp.float32(r0))
             mc = jax.lax.dynamic_slice_in_dim(mi, r0, rows_per, axis=0)
             # _window_prep's base grid is position-linear and its clip
             # bounds come from x's (global) shape, so globalized offsets
@@ -284,9 +288,14 @@ def modulated_deform_conv_windowed(x, offset, mask, weight, bias=None,
     """
     b, h, w, c = x.shape
 
+    # static precondition gate: unsupported shapes (h % blk != 0, small
+    # images, non-3x3 config) take the exact path entirely instead of
+    # crashing at trace time inside _window_prep
+    if not window_applicable(x.shape, offset.shape, blk, win):
+        return modulated_deform_conv(x, offset, mask, weight, bias)
+
     if group_scan is None:
-        packed_bytes = (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
-        group_scan = packed_bytes > 40 * 1024 * 1024
+        group_scan = use_group_scan(h, w, c, x.dtype)
 
     def one(xi, oi, mi):
         origins, ry, rx, mm, ok = _window_prep(xi, oi, mi, blk, win)

@@ -110,10 +110,13 @@ def _base_grid(ho, wo, kh, kw, stride, padding, dilation):
     """Base sampling coords: (P,) per-pixel and (K,) per-tap offsets."""
     oy = jnp.arange(ho, dtype=jnp.float32) * stride[0] - padding[0]
     ox = jnp.arange(wo, dtype=jnp.float32) * stride[1] - padding[1]
-    ky = (jnp.arange(kh, dtype=jnp.float32)[:, None]
-          * dilation[0]).repeat(kw, 1).reshape(-1)
-    kx = (jnp.arange(kw, dtype=jnp.float32)[None, :]
-          * dilation[1]).repeat(kh, 0).reshape(-1)
+    # broadcast+reshape, not .repeat (repo-wide rule: jnp.repeat lowers
+    # to window ops the TPU fusion emitter can SIGABRT on; these are
+    # tiny trace-time constants, but keep the package consistent)
+    ky = jnp.broadcast_to(jnp.arange(kh, dtype=jnp.float32)[:, None]
+                          * dilation[0], (kh, kw)).reshape(-1)
+    kx = jnp.broadcast_to(jnp.arange(kw, dtype=jnp.float32)[None, :]
+                          * dilation[1], (kh, kw)).reshape(-1)
     base_y = (oy[:, None] + jnp.zeros((ho, wo), jnp.float32)).reshape(-1)
     base_x = (ox[None, :] + jnp.zeros((ho, wo), jnp.float32)).reshape(-1)
     return base_y, base_x, ky, kx
@@ -188,6 +191,24 @@ def _pack_corner_kernel(g, cg):
                     kern[dy, dx, gi * cg + cc,
                          gi * 4 * cg + corner * cg + cc] = 1.0
     return jnp.asarray(kern)
+
+
+def use_group_scan(h, w, c, dtype):
+    """Whether _mdc_fast_single should scan over deformable groups for
+    an (h, w, c) input: True when the corner-packed operand exceeds
+    40 MB (shared by the windowed variant so the fallback heuristics
+    cannot drift apart).
+
+    Threshold re-checked round 2 with bf16 operands: isolated,
+    relu2-bf16 (44.5 MB) is ~2 ms faster un-scanned, but END-TO-END the
+    un-scanned variant regresses the serving bench 9.83 -> 9.49 img/s
+    (the larger per-step working set hurts overlap inside the batch
+    image-scan) — keep 40 MB. Sized from the PACKED buffer's dtype
+    (f32 unless the input is bf16 — see _mdc_fast_single), not the raw
+    input's."""
+    dt_size = 2 if jnp.dtype(dtype) == jnp.bfloat16 else 4
+    packed_bytes = (h + 1) * (w + 1) * 4 * c * dt_size
+    return packed_bytes > 40 * 1024 * 1024
 
 
 def _mdc_fast_single(x, offset, mask, weight, group_scan=True):
@@ -336,13 +357,7 @@ def modulated_deform_conv(x, offset, mask, weight, bias=None,
     # Within an image, scan over deformable groups when the packed
     # operand is large (eval shapes) and do one all-groups gather when
     # it is small (training shapes).
-    # threshold re-checked round 2 with bf16 operands: isolated,
-    # relu2-bf16 (44.5 MB) is ~2 ms faster un-scanned, but END-TO-END
-    # the un-scanned variant regresses the serving bench 9.83 -> 9.49
-    # img/s (the larger per-step working set hurts overlap inside the
-    # batch image-scan) — keep 40 MB
-    packed_bytes = (h + 1) * (w + 1) * 4 * c * x.dtype.itemsize
-    group_scan = packed_bytes > 40 * 1024 * 1024
+    group_scan = use_group_scan(h, w, c, x.dtype)
     if b == 1:
         out = _mdc_fast_single(x[0], offset[0], mask[0], weight,
                                group_scan=group_scan)[None]

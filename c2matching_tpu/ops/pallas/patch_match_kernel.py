@@ -115,7 +115,10 @@ def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * qp.shape[0] * rp.shape[0] * d,
-            bytes_accessed=(qp.shape[0] * d + grid[0] * rp.shape[0] * d) * 4,
+            # per the operand dtype: bf16 descriptors (the serving
+            # config) move half the bytes of f32
+            bytes_accessed=(qp.shape[0] * d + grid[0] * rp.shape[0] * d)
+            * qp.dtype.itemsize,
             transcendentals=0),
     )(jnp.asarray([nr], jnp.int32), qp, rp)
 
