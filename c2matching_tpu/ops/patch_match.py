@@ -104,11 +104,13 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
         r = r.astype(jnp.dtype(compute_dtype))
 
     if use_pallas == 'auto':
-        # the kernel is Mosaic-TPU only — any other accelerator backend
-        # (gpu) must take the XLA matmul path, not crash at lowering.
-        # 'axon' is this environment's tunneled TPU platform name.
+        # the kernel is Mosaic-TPU only — cpu/gpu backends must take the
+        # XLA matmul path, not crash at lowering. Exclusion list rather
+        # than == 'tpu': tunneled TPU platforms register under their own
+        # names (e.g. 'axon') and must keep the kernel.
         use_pallas = (hh * ww >= _PALLAS_MIN_ROWS
-                      and jax.default_backend() in ('tpu', 'axon'))
+                      and jax.default_backend() not in ('cpu', 'gpu',
+                                                        'cuda', 'rocm'))
     if use_pallas:
         from .pallas import match_argmax
         max_idx, max_val = match_argmax(q, r)
