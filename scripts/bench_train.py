@@ -27,6 +27,7 @@ Usage: PYTHONPATH=. python scripts/bench_train.py [--f32]
 import argparse
 import json
 import statistics
+import sys
 import time
 
 import numpy as np
@@ -52,6 +53,12 @@ def main():
                          '(latency protocol; overstates production iter '
                          'time on a tunneled chip) instead of the default '
                          'run-ahead protocol matching mmsr/train.py')
+    ap.add_argument('--decompose', action='store_true',
+                    help='also report (to stderr) the on-chip step time '
+                         'with the batch pre-forced onto the device, and '
+                         'the batch host->device transfer time — '
+                         'separates real step compute from the tunnel '
+                         'transfer artifact this environment adds')
     ap.add_argument('--unroll', type=int, default=1,
                     help='trunk_unroll for network_g (see '
                          'arch_util.ResBlockStack)')
@@ -145,6 +152,35 @@ def main():
             losses.append(model.log_dict[loss_key])
         assert np.isfinite(float(jnp.sum(jnp.stack(losses))))
         dt = (time.time() - t0) / n
+
+    if args.decompose:
+        import jax.numpy as jnp
+
+        def force_batch():
+            # one fetched scalar touching every batch array forces the
+            # in-flight puts (block_until_ready does not, on the tunnel)
+            s = sum(jnp.sum(v) for v in model.batch.values()
+                    if hasattr(v, 'shape'))
+            assert np.isfinite(float(s))
+
+        step_ts, xfer_ts = [], []
+        for i in range(n):
+            t0 = time.time()
+            model.feed_data(batches[i])
+            force_batch()
+            xfer_ts.append(time.time() - t0)
+            t0 = time.time()
+            model.optimize_parameters(i + 100)
+            float(model.log_dict[loss_key])
+            step_ts.append(time.time() - t0)
+        mb = sum(v.nbytes for v in batches[0].values()
+                 if hasattr(v, 'nbytes')) / 2 ** 20
+        print(f'decompose: on-chip step (+1 loss fetch) '
+              f'{statistics.median(step_ts) * 1e3:.1f} ms; '
+              f'batch transfer ({mb:.1f} MB, +1 fetch) '
+              f'{statistics.median(xfer_ts) * 1e3:.1f} ms',
+              file=sys.stderr)
+
     if args.stage == 3:
         kind = 'pretrain' if args.pretrain else 'GAN'
         detail = 'f32' if args.f32 else 'bf16 gathers'
