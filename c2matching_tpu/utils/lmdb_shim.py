@@ -17,6 +17,17 @@ raises with a clear message. When the real package is installed the
 importers (``data/file_client.py``, ``scripts/create_cufed_lmdb.py``)
 prefer it and nothing here is used.
 
+DIVERGENCE RISK (explicit): archives packed with this shim are NOT
+readable by real lmdb and vice versa — the two stores share only the
+Python API, not bytes. A dataset dir packed here must be re-packed with
+``scripts/create_cufed_lmdb.py`` once the real package is available
+(the packer re-reads the source images; nothing is lost). Both
+directions fail loudly rather than silently misread: real lmdb ignores
+our fallback files and reports an empty/absent ``data.mdb``, while this
+shim refuses to open a dir containing ``data.mdb`` (``open()`` below).
+``tests/test_lmdb_path.py::test_real_lmdb_cross_conformance`` runs the
+cross-read check automatically if ``lmdb`` is ever installed.
+
 Upstream contract: mmsr/utils/file_client.py:96-167 (per-key readonly
 environments, ascii keys, value = encoded image bytes).
 """

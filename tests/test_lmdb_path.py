@@ -141,6 +141,49 @@ def test_dataset_getitem_lmdb_matches_disk(packed_root, tmp_path):
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 
 
+def test_real_lmdb_cross_conformance(tmp_path):
+    """If the real ``lmdb`` package is ever installed here, prove the
+    documented divergence behavior (utils/lmdb_shim.py docstring): the
+    two stores do NOT share an on-disk format and both directions fail
+    LOUDLY — the shim refuses a dir containing ``data.mdb``; real lmdb
+    sees none of the shim's entries — and the real package passes the
+    same API round-trip the shim pins. Skipped (not silently green)
+    while lmdb is unavailable."""
+    lmdb = pytest.importorskip('lmdb')
+    from c2matching_tpu.utils import lmdb_shim
+
+    # real-lmdb API round-trip (same protocol the shim tests pin above)
+    real_path = str(tmp_path / 'real.lmdb')
+    env = lmdb.open(real_path, map_size=1 << 20)
+    with env.begin(write=True) as txn:
+        txn.put(b'a', b'alpha')
+    env.close()
+    env = lmdb.open(real_path, readonly=True, lock=False)
+    with env.begin() as txn:
+        assert txn.get(b'a') == b'alpha'
+    assert env.stat()['entries'] == 1
+    env.close()
+
+    # direction 1: shim must refuse to open a real-lmdb directory
+    with pytest.raises(Exception):
+        lmdb_shim.open(real_path, readonly=True)
+
+    # direction 2: real lmdb must not silently read shim-packed data
+    shim_path = str(tmp_path / 'shim.lmdb')
+    senv = lmdb_shim.open(shim_path)
+    with senv.begin(write=True) as txn:
+        txn.put(b'a', b'alpha')
+    senv.close()
+    try:
+        renv = lmdb.open(shim_path, readonly=True, lock=False)
+    except lmdb.Error:
+        pass  # loud failure: acceptable
+    else:
+        with renv.begin() as txn:
+            assert txn.get(b'a') is None  # never the shim's value
+        renv.close()
+
+
 def test_shim_aborted_transaction_rolls_back(tmp_path):
     """Real-lmdb semantics: puts in an aborted write transaction must
     not be visible afterwards nor persisted by close()."""
