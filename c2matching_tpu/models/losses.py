@@ -150,16 +150,20 @@ class GANLoss:
 
 
 def gradient_penalty_loss(disc_fn, real_data, fake_data, key,
-                          loss_weight=1.0):
+                          loss_weight=1.0, alpha=None):
     """WGAN-GP (losses.py:366-400): random per-sample interpolation, grad
     of D wrt input, (||grad||_2 - 1)^2 penalty.
 
     Args:
         disc_fn: params-free callable x -> score (close over D params).
         key: PRNG key for the interpolation coefficients.
+        alpha: optional explicit (B, 1, 1, 1) interpolation coefficients
+            overriding the key-derived draw (training-parity tests pin
+            identical alphas against the reference's torch.rand).
     """
     b = real_data.shape[0]
-    alpha = jax.random.uniform(key, (b, 1, 1, 1), real_data.dtype)
+    if alpha is None:
+        alpha = jax.random.uniform(key, (b, 1, 1, 1), real_data.dtype)
     interpolates = alpha * real_data + (1. - alpha) * fake_data
 
     def disc_sum(x):

@@ -46,6 +46,22 @@ assert len(jax.devices()) == 8, 'expected 8 virtual CPU devices'
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """dp_trace tests are opt-in: the full-size DP-equivalence pair costs
+    ~40 min of Python TRACING (not XLA compile — the persistent cache
+    cannot help) on this 1-core host. They are skipped unless the user
+    selects markers explicitly (e.g. ``-m dp_trace``); the default run
+    covers the same property with the reduced smoke in
+    test_parallel_production.py."""
+    if config.getoption('-m'):
+        return
+    skip = pytest.mark.skip(
+        reason='opt-in heavyweight trace test: run with -m dp_trace')
+    for item in items:
+        if 'dp_trace' in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(autouse=True, scope='module')
 def _clear_jax_caches_per_module():
     """Cap host memory across the suite: compiled executables from the

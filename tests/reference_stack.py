@@ -89,6 +89,69 @@ def np_dcn_v2_forward(x, weight, bias, offset, mask,
     return out + bias.reshape(1, co, 1, 1)
 
 
+def torch_dcn_v2_forward(x, weight, bias, offset, mask,
+                         kh, kw, sh, sw, ph, pw, dh, dw, dg):
+    """Differentiable pure-torch DCNv2 forward with CUDA-kernel
+    semantics — the same math as ``np_dcn_v2_forward`` expressed in
+    autograd-traceable torch ops.
+
+    Purpose: torch.autograd of THIS function reproduces the analytic
+    gradients of the CUDA backward (dcn_v2_cuda.cu:206-335):
+    - d/d-offset: the bilinear sample is written as an explicit 4-tap
+      interpolation with detached floor coordinates, so autograd yields
+      exactly the analytic d(bilinear)/d(coordinate) weights of
+      ``dmcn_get_coordinate_weight`` (dcn_v2_im2col_cuda.cu:82-123);
+    - d/d-input: advanced-indexing backward is scatter-add, the
+      functional mirror of the atomicAdd col2im kernel
+      (dcn_v2_im2col_cuda.cu:197-254);
+    - d/d-weight, d/d-bias: linear contraction transposes
+      (im2col+GEMM / Sgemv, dcn_v2_cuda.cu:302-329).
+    The out-of-range guard multiplies by a detached indicator, matching
+    the CUDA coordinate-gradient's zero outside (-1, H)x(-1, W).
+    """
+    import torch
+
+    n, c, h, w = x.shape
+    k = kh * kw
+    ho = (h + 2 * ph - (dh * (kh - 1) + 1)) // sh + 1
+    wo = (w + 2 * pw - (dw * (kw - 1) + 1)) // sw + 1
+    cg = c // dg
+    co = weight.shape[0]
+    wk = weight.reshape(co, c, k)
+    base_y = (torch.arange(ho, dtype=x.dtype) * sh - ph).view(-1, 1)
+    base_x = (torch.arange(wo, dtype=x.dtype) * sw - pw).view(1, -1)
+    xpad = torch.nn.functional.pad(x, (1, 1, 1, 1))
+    out = x.new_zeros(n, co, ho, wo)
+    for ni in range(n):
+        for g in range(dg):
+            sl = xpad[ni, g * cg:(g + 1) * cg]          # (cg, H+2, W+2)
+            vals = []
+            for tap in range(k):
+                ki, kj = tap // kw, tap % kw
+                sy = base_y + ki * dh + offset[ni, g * 2 * k + 2 * tap]
+                sx = base_x + kj * dw + offset[ni, g * 2 * k + 2 * tap + 1]
+                m = mask[ni, g * k + tap]
+                valid = ((sy > -1) & (sy < h) & (sx > -1)
+                         & (sx < w)).to(x.dtype).detach()
+                y0 = torch.floor(sy).detach()
+                x0 = torch.floor(sx).detach()
+                fy = sy - y0
+                fx = sx - x0
+                iy = (y0.long() + 1).clamp(0, h + 1)
+                ix = (x0.long() + 1).clamp(0, w + 1)
+                iy1 = (iy + 1).clamp(0, h + 1)
+                ix1 = (ix + 1).clamp(0, w + 1)
+                val = ((1 - fy) * (1 - fx) * sl[:, iy, ix]
+                       + (1 - fy) * fx * sl[:, iy, ix1]
+                       + fy * (1 - fx) * sl[:, iy1, ix]
+                       + fy * fx * sl[:, iy1, ix1])
+                vals.append(val * (m * valid))
+            col = torch.stack(vals, dim=1)               # (cg, K, Ho, Wo)
+            out[ni] = out[ni] + torch.einsum(
+                'ckij,ock->oij', col, wk[:, g * cg:(g + 1) * cg])
+    return out + bias.reshape(1, co, 1, 1)
+
+
 def _make_ext_stub():
     import torch
 
@@ -105,7 +168,27 @@ def _make_ext_stub():
             kh, kw, sh, sw, ph, pw, dh, dw, dg)
         return torch.from_numpy(out)
 
+    def dcn_v2_backward(x, weight, bias, offset, mask, grad_output,
+                        kh, kw, sh, sw, ph, pw, dh, dw, dg):
+        """CPU stand-in for the CUDA backward (dcn_v2_cuda.cu:206-335),
+        called by the reference's ``_DCNv2.backward``
+        (DCNv2/dcn_v2.py:34-50): autograd through the differentiable
+        transcription above (whose gradients ARE the analytic CUDA
+        formulas; pinned by gradcheck in
+        tests/test_composite_train_parity.py)."""
+        # _DCNv2.backward runs under @once_differentiable (grad mode
+        # OFF); the internal autograd recompute must re-enable it
+        with torch.enable_grad():
+            leaves = [t.detach().double().requires_grad_(True)
+                      for t in (x, offset, mask, weight, bias)]
+            xx, off, msk, w, b = leaves
+            out = torch_dcn_v2_forward(xx, w, b, off, msk, kh, kw, sh, sw,
+                                       ph, pw, dh, dw, dg)
+            out.backward(grad_output.double())
+        return tuple(t.grad.to(x.dtype) for t in leaves)
+
     mod.dcn_v2_forward = dcn_v2_forward
+    mod.dcn_v2_backward = dcn_v2_backward
     return mod
 
 
@@ -200,3 +283,105 @@ def restore_modules(saved):
             sys.modules.pop(name, None)
         else:
             sys.modules[name] = prev
+
+
+def _make_mmcv_stub():
+    """Minimal mmcv stand-in (the real package is not installed here):
+    only the names the reference MODEL layer touches at import time or
+    inside optimize_parameters — ``mmcv.runner.master_only`` (decorator,
+    rank gating is irrelevant single-process), ``mmcv.imwrite`` and
+    ``mmcv.scandir`` (validation/registry helpers we don't exercise)."""
+    mmcv = types.ModuleType('mmcv')
+    runner = types.ModuleType('mmcv.runner')
+
+    def master_only(fn):
+        return fn
+
+    runner.master_only = master_only
+    mmcv.runner = runner
+    mmcv.imwrite = lambda img, path, **kw: None
+
+    def scandir(path, suffix=None):
+        import os
+        for f in sorted(os.listdir(path)):
+            if suffix is None or f.endswith(suffix):
+                yield f
+
+    mmcv.scandir = scandir
+    return {'mmcv': mmcv, 'mmcv.runner': runner}
+
+
+class _ProgressBarStub:
+    def __init__(self, *a, **k):
+        pass
+
+    def update(self, *a, **k):
+        pass
+
+
+def load_reference_models():
+    """Import the reference's MODEL layer verbatim (losses, schedulers,
+    networks factory, BaseModel/SRModel and the three stage models) on
+    top of the arch modules from :func:`load_reference_archs`, so the
+    reference's own ``optimize_parameters`` (ref_restoration_model.py:
+    192-269, teacher_contras_model.py:212-227,
+    student_contras_distillation_model.py:259-275) can run optimizer
+    steps on CPU for training-parity tests.
+
+    Returns (models, archs, saved): ``models`` maps short names to the
+    verbatim modules; pass ``saved`` to :func:`restore_modules`.
+    """
+    archs, saved = load_reference_archs()
+
+    mmcv_stubs = _make_mmcv_stub()
+    # mmsr.utils: stub the symbols the model layer imports at module
+    # scope (ProgressBar/tensor2img are validation-only); __path__ points
+    # at the real tree so ``import mmsr.utils.metrics`` (cv2+numpy only)
+    # loads the reference's own metrics module.
+    utils_mod = _pkg_shell('mmsr.utils', f'{REFERENCE_ROOT}/mmsr/utils')
+    utils_mod.ProgressBar = _ProgressBarStub
+    utils_mod.tensor2img = lambda *a, **k: None
+    utils_mod.crop_border = lambda *a, **k: None
+    stubs = dict(mmcv_stubs)
+    stubs['mmsr.utils'] = utils_mod
+
+    # the reference's registry: archs/__init__.py scans *_arch.py with
+    # mmcv.scandir; the arch modules are already imported verbatim by
+    # load_reference_archs, so expose them as ``_arch_modules`` on the
+    # package shell for networks.py:1.
+    sys.modules['mmsr.models.archs']._arch_modules = [
+        archs['contras'], archs['corres'], archs['discriminator'],
+        archs['vgg_arch'], archs['restoration'],
+    ]
+
+    ref_mods = ['mmsr.utils.metrics',
+                'mmsr.models.loss_utils',
+                'mmsr.models.losses',
+                'mmsr.models.lr_scheduler',
+                'mmsr.models.networks',
+                'mmsr.models.base_model',
+                'mmsr.models.sr_model',
+                'mmsr.models.ref_restoration_model',
+                'mmsr.models.teacher_contras_model',
+                'mmsr.models.student_contras_distillation_model']
+    for name in list(stubs) + ref_mods:
+        if name not in saved:
+            saved[name] = sys.modules.get(name)
+    sys.modules.update(stubs)
+    try:
+        loaded = {name: importlib.import_module(name) for name in ref_mods}
+    except Exception:
+        restore_modules(saved)
+        raise
+    models = {
+        'metrics': loaded['mmsr.utils.metrics'],
+        'losses': loaded['mmsr.models.losses'],
+        'lr_scheduler': loaded['mmsr.models.lr_scheduler'],
+        'networks': loaded['mmsr.models.networks'],
+        'base_model': loaded['mmsr.models.base_model'],
+        'sr_model': loaded['mmsr.models.sr_model'],
+        'ref_restoration': loaded['mmsr.models.ref_restoration_model'],
+        'teacher': loaded['mmsr.models.teacher_contras_model'],
+        'student': loaded['mmsr.models.student_contras_distillation_model'],
+    }
+    return models, archs, saved

@@ -21,7 +21,7 @@ REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
 GT, BATCH, STEPS = 64, 8, 1
 
 
-def _make_opt(tmp_root, monkeypatch, n_blocks=16):
+def _make_opt(tmp_root, monkeypatch, n_blocks=16, groups=8):
     from c2matching_tpu.utils import dict_to_nonedict
     from c2matching_tpu.utils.options import parse
     monkeypatch.setenv('C2MATCHING_ROOT', str(tmp_root))
@@ -29,6 +29,7 @@ def _make_opt(tmp_root, monkeypatch, n_blocks=16):
                          'debug_stage3_synth.yml'), is_train=True)
     opt['name'] = 'dp_equiv'
     opt['network_g']['n_blocks'] = n_blocks
+    opt['network_g']['groups'] = groups
     opt['train']['net_g_pretrain_steps'] = 0
     return dict_to_nonedict(opt)
 
@@ -62,15 +63,12 @@ def _tree_max_delta(a, b):
     return max(jax.tree.leaves(deltas) or [0.0])
 
 
-def test_gan_step_dp_equivalence(tmp_path, monkeypatch):
-    """8-way-sharded batch == 1-device replicated batch, through the
-    full fused GAN step (match -> G vjp -> D WGAN-GP -> G), to float32
-    reduction-order tolerance."""
+def _dp_equivalence_body(tmp_path, monkeypatch, **opt_kw):
     from c2matching_tpu.models import base_model as bm
     from c2matching_tpu.models import create_model
     from c2matching_tpu.parallel.mesh import get_mesh
 
-    opt = _make_opt(tmp_path, monkeypatch)
+    opt = _make_opt(tmp_path, monkeypatch, **opt_kw)
 
     model_8 = _run_steps(create_model(opt), STEPS)
 
@@ -102,6 +100,26 @@ def test_gan_step_dp_equivalence(tmp_path, monkeypatch):
     assert d_d < 2 * lr, f'D vars diverged: {d_d}'
 
 
+@pytest.mark.dp_trace
+def test_gan_step_dp_equivalence(tmp_path, monkeypatch):
+    """8-way-sharded batch == 1-device replicated batch, through the
+    full fused GAN step (match -> G vjp -> D WGAN-GP -> G), to float32
+    reduction-order tolerance. Full production config (n_blocks=16,
+    groups=8): ~35-40 min of Python tracing on this host, hence opt-in
+    (-m dp_trace); the default run executes the reduced smoke below."""
+    _dp_equivalence_body(tmp_path, monkeypatch)
+
+
+def test_gan_step_dp_equivalence_smoke(tmp_path, monkeypatch):
+    """Default-run DP-equivalence smoke: the SAME fused-step code path
+    and assertions as the dp_trace test, at a reduced arch config
+    (n_blocks=2, groups=2 — the trunks are lax.scan-stacked and the DCN
+    groups scanned, so the traced graph structure is identical; only
+    trace/compile wall-clock shrinks, ~10 min vs ~40)."""
+    _dp_equivalence_body(tmp_path, monkeypatch, n_blocks=2, groups=2)
+
+
+@pytest.mark.dp_trace
 def test_mesh_train_save_restore_continue(tmp_path, monkeypatch):
     """N steps under the 8-device mesh -> checkpoint -> restore into a
     FRESH model instance -> one more mesh step (VERDICT r2 item 3b:
