@@ -99,6 +99,54 @@ def _l2_normalize(x, eps=1e-12):
     return x / (jnp.linalg.norm(x) + eps)
 
 
+def valid_mask(x, valid_shape):
+    """{0,1} mask of the valid (unpadded) region of a bucket-padded NHWC
+    tensor: 1 where (row < vh, col < vw), 0 in the zero-pad bands.
+
+    Supports the eval bucket-padding invariance protocol: the reference
+    evaluates every image at its exact shape (torch recompiles nothing),
+    while this framework pads eval shapes up to a bucket so XLA compiles
+    once per bucket. Multiplying each conv's output by this mask makes
+    the padded computation produce EXACTLY the exact-shape values on the
+    valid crop: the zero bands then behave like the implicit SAME-pad
+    zeros of the exact-shape run at every layer (a conv's bias would
+    otherwise make the pad region nonzero and bleed back into the valid
+    region's receptive fields).
+
+    Args:
+        x: (B, H, W, C) tensor the mask is for (shape/dtype source).
+        valid_shape: (vh, vw) — python ints, scalar arrays, or (B,)
+            arrays (per-image valid sizes within a bucketed batch).
+    Returns:
+        (B or 1, H, W, 1) mask in x.dtype.
+    """
+    vh, vw = valid_shape
+    h, w = x.shape[1], x.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (1, h, 1, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w, 1), 2)
+    vh = jnp.reshape(jnp.asarray(vh, jnp.int32), (-1, 1, 1, 1))
+    vw = jnp.reshape(jnp.asarray(vw, jnp.int32), (-1, 1, 1, 1))
+    return ((row < vh) & (col < vw)).astype(x.dtype)
+
+
+def halve_valid(valid_shape):
+    """valid_shape after a stride-2 pooling (sizes stay integral: the
+    bucket protocol only pads shapes whose valid sizes are even at every
+    pooled level — HR valid sizes are multiples of 4)."""
+    if valid_shape is None:
+        return None
+    vh, vw = valid_shape
+    return vh // 2, vw // 2
+
+
+def scale_valid(valid_shape, factor):
+    """valid_shape after an integer x``factor`` upsample."""
+    if valid_shape is None:
+        return None
+    vh, vw = valid_shape
+    return vh * factor, vw * factor
+
+
 class ResidualBlockNoBN(nn.Module):
     """Conv-ReLU-Conv residual block without BN (arch_util.py:80-136),
     including the reference's spectral-norm option (:110-136; unused by
@@ -118,7 +166,7 @@ class ResidualBlockNoBN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         if self.sn:
             def conv(name):
                 return SpectralNormConv(
@@ -133,22 +181,30 @@ class ResidualBlockNoBN(nn.Module):
                                dtype=self.dtype, name=name)
         identity = x
         out = conv('conv1')(x)
+        if mask is not None:
+            out = out * mask
         out = nn.relu(out)
         out = conv('conv2')(out)
+        if mask is not None:
+            out = out * mask
         return identity + out * self.res_scale
 
 
 class _ResBlockScanBody(nn.Module):
-    """scan body: carry = activation, no per-step inputs."""
+    """scan body: carry = (activation, valid mask or None), no per-step
+    inputs. The mask rides the carry unchanged so the single compiled
+    block body can apply it after each conv (bucket-padding invariance,
+    see ``valid_mask``)."""
     nf: int
     kernel_init: Callable
     dtype: Any
 
     @nn.compact
     def __call__(self, carry, _):
+        x, mask = carry
         out = ResidualBlockNoBN(nf=self.nf, kernel_init=self.kernel_init,
-                                dtype=self.dtype, name='block')(carry)
-        return out, None
+                                dtype=self.dtype, name='block')(x, mask)
+        return (out, mask), None
 
 
 class ResBlockStack(nn.Module):
@@ -174,7 +230,7 @@ class ResBlockStack(nn.Module):
     unroll: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         scan = nn.scan(
             _ResBlockScanBody,
             variable_axes={'params': 0},
@@ -182,8 +238,9 @@ class ResBlockStack(nn.Module):
             length=self.n_blocks,
             unroll=min(self.unroll, self.n_blocks),
         )
-        out, _ = scan(nf=self.nf, kernel_init=self.kernel_init,
-                      dtype=self.dtype, name='blocks')(x, None)
+        (out, _mask), _ = scan(nf=self.nf, kernel_init=self.kernel_init,
+                               dtype=self.dtype, name='blocks')((x, mask),
+                                                                None)
         return out
 
 

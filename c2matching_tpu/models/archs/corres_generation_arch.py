@@ -44,18 +44,26 @@ class CorrespondenceGenerationArch(nn.Module):
     match_dtype: Any = None
 
     @nn.compact
-    def __call__(self, dense_features, img_ref_hr):
+    def __call__(self, dense_features, img_ref_hr, valid_shape=None):
+        """``valid_shape`` (vh, vw): valid HR sizes when the batch is
+        bucket-padded (eval invariance protocol) — threaded as the
+        LR-scale (vh//4, vw//4) to the matcher (whose features are at
+        HR/4) and as-is to the reference VGG (masked per layer)."""
         feat_in = dense_features['dense_features1']
         feat_ref = dense_features['dense_features2']
 
+        lr_valid = None
+        if valid_shape is not None:
+            lr_valid = (valid_shape[0] // 4, valid_shape[1] // 4)
         max_idx, _max_val = batched_patch_match(
             feat_in, feat_ref, patch_size=self.patch_size,
-            compute_dtype=self.match_dtype)
+            compute_dtype=self.match_dtype, valid_shape=lr_valid)
         pre_offset = batched_pre_offsets(max_idx,
-                                         patch_size=self.patch_size)
+                                         patch_size=self.patch_size,
+                                         valid_shape=lr_valid)
 
         img_ref_feat = VGGFeatureExtractor(
             layer_name_list=list(self.vgg_layer_list),
             vgg_type=self.vgg_type, dtype=self.dtype,
-            name='vgg')(img_ref_hr)
+            name='vgg')(img_ref_hr, valid_shape=valid_shape)
         return pre_offset, img_ref_feat

@@ -24,7 +24,8 @@ from flax import linen as nn
 from ...ops.deform_conv import modulated_deform_conv
 from ...ops.resize import upscale
 from ...utils.registry import ARCH_REGISTRY
-from .arch_util import ResBlockStack, lrelu, pixel_shuffle, srntt_normal_init
+from .arch_util import (ResBlockStack, lrelu, pixel_shuffle, scale_valid,
+                        srntt_normal_init, valid_mask)
 
 
 def _dcn_weight_init(cin, k=9):
@@ -124,16 +125,18 @@ class ContentExtractor(nn.Module):
     trunk_unroll: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         feat = nn.Conv(self.nf, (3, 3), padding=1,
                        kernel_init=srntt_normal_init(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
                        name='conv_first')(x)
         feat = lrelu(feat)
+        if mask is not None:
+            feat = feat * mask
         return ResBlockStack(nf=self.nf, n_blocks=self.n_blocks,
                              kernel_init=srntt_normal_init(),
                              dtype=self.dtype, unroll=self.trunk_unroll,
-                             name='body')(feat)
+                             name='body')(feat, mask)
 
 
 class DynamicAggregationRestoration(nn.Module):
@@ -155,55 +158,79 @@ class DynamicAggregationRestoration(nn.Module):
     trunk_unroll: int = 1
 
     @nn.compact
-    def __call__(self, x, pre_offset, img_ref_feat):
+    def __call__(self, x, pre_offset, img_ref_feat, valid_shape=None):
+        """``valid_shape``: valid LR-scale sizes of a bucket-padded batch
+        (eval invariance protocol): every conv output is re-zeroed in the
+        pad bands (arch_util.valid_mask) so valid-region values equal the
+        exact-shape run's. None (training / exact shapes) is a no-op."""
         conv_kwargs = dict(kernel_init=srntt_normal_init(),
                            bias_init=nn.initializers.zeros, dtype=self.dtype)
         ngf = self.ngf
 
-        def scale_stage(x, scale_name, ref_key, ref_ch, tail):
+        def scale_stage(x, scale_name, ref_key, ref_ch, tail, vs):
+            mask = None if vs is None else valid_mask(x, vs)
             ref = img_ref_feat[ref_key]
             off = jnp.concatenate([x, ref], axis=-1)
             off = lrelu(nn.Conv(ref_ch, (3, 3), padding=1,
                                 name=f'{scale_name}_offset_conv1',
                                 **conv_kwargs)(off))
+            if mask is not None:
+                off = off * mask
             off = lrelu(nn.Conv(ref_ch, (3, 3), padding=1,
                                 name=f'{scale_name}_offset_conv2',
                                 **conv_kwargs)(off))
+            if mask is not None:
+                off = off * mask
             swapped = lrelu(DynAgg(channels=ref_ch,
                                    deformable_groups=self.groups,
                                    dtype=self.dtype,
                                    gather_dtype=self.gather_dtype,
                                    name=f'{scale_name}_dyn_agg')(
                                        ref, off, pre_offset[ref_key]))
+            if mask is not None:
+                swapped = swapped * mask
             h = jnp.concatenate([x, swapped], axis=-1)
             h = lrelu(nn.Conv(ngf, (3, 3), padding=1,
                               name=f'head_{scale_name}', **conv_kwargs)(h))
+            if mask is not None:
+                h = h * mask
             h = ResBlockStack(nf=ngf, n_blocks=self.n_blocks,
                               kernel_init=srntt_normal_init(),
                               dtype=self.dtype, unroll=self.trunk_unroll,
-                              name=f'body_{scale_name}')(h) + x
-            return tail(h)
+                              name=f'body_{scale_name}')(h, mask) + x
+            return tail(h, mask)
 
         def tail_up(name):
-            def tail(h):
+            def tail(h, mask):
                 h = nn.Conv(ngf * 4, (3, 3), padding=1,
                             name=f'tail_{name}', **conv_kwargs)(h)
+                if mask is not None:
+                    # masked at the coarse scale = masked after shuffle
+                    h = h * mask
                 return lrelu(pixel_shuffle(h, 2))
             return tail
 
-        def tail_final(h):
+        def tail_final(h, mask):
             h = lrelu(nn.Conv(ngf // 2, (3, 3), padding=1,
                               name='tail_large_conv1', **conv_kwargs)(h))
+            if mask is not None:
+                h = h * mask
+            # final conv output is left unmasked: pad-band values are
+            # cropped by the caller and feed nothing else
             return nn.Conv(3, (3, 3), padding=1, name='tail_large_conv2',
                            **conv_kwargs)(h)
 
-        x = scale_stage(x, 'small', 'relu3_1', 256, tail_up('small'))
+        vs1 = valid_shape
+        vs2 = scale_valid(vs1, 2)
+        vs4 = scale_valid(vs1, 4)
+        x = scale_stage(x, 'small', 'relu3_1', 256, tail_up('small'), vs1)
         if self.stage_barriers:
             x = jax.lax.optimization_barrier(x)
-        x = scale_stage(x, 'medium', 'relu2_1', 128, tail_up('medium'))
+        x = scale_stage(x, 'medium', 'relu2_1', 128, tail_up('medium'),
+                        vs2)
         if self.stage_barriers:
             x = jax.lax.optimization_barrier(x)
-        x = scale_stage(x, 'large', 'relu1_1', 64, tail_final)
+        x = scale_stage(x, 'large', 'relu1_1', 64, tail_final, vs4)
         return x
 
 
@@ -222,25 +249,29 @@ class RestorationNet(nn.Module):
     trunk_unroll: int = 1
 
     @nn.compact
-    def __call__(self, x, pre_offset, img_ref_feat):
+    def __call__(self, x, pre_offset, img_ref_feat, valid_shape=None):
         """
         Args:
             x: (B, h, w, 3) LR input.
             pre_offset: dict relu{1,2,3}_1 -> (B, 9, H_s, W_s, 2) offsets.
             img_ref_feat: dict relu{1,2,3}_1 -> (B, H_s, W_s, C_s) VGG
                 features of the HR reference.
+            valid_shape: None, or (vh, vw) valid LR sizes of a
+                bucket-padded eval batch (invariance protocol — see
+                DynamicAggregationRestoration).
         Returns:
             (B, 4h, 4w, 3) restored image.
         """
-        base = upscale(x, 4, 'bilinear')
+        base = upscale(x, 4, 'bilinear', valid_shape=valid_shape)
+        mask = None if valid_shape is None else valid_mask(x, valid_shape)
         content_feat = ContentExtractor(nf=self.ngf, n_blocks=self.n_blocks,
                                         dtype=self.dtype,
                                         trunk_unroll=self.trunk_unroll,
-                                        name='content_extractor')(x)
+                                        name='content_extractor')(x, mask)
         restored = DynamicAggregationRestoration(
             ngf=self.ngf, n_blocks=self.n_blocks, groups=self.groups,
             dtype=self.dtype, gather_dtype=self.gather_dtype,
             trunk_unroll=self.trunk_unroll,
             name='dyn_agg_restore')(content_feat, pre_offset,
-                                    img_ref_feat)
+                                    img_ref_feat, valid_shape)
         return restored + base

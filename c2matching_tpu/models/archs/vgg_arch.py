@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...utils.registry import ARCH_REGISTRY
+from .arch_util import halve_valid, valid_mask
 
 # Layer name sequences per VGG variant (vgg_arch.py:7-37).
 NAMES = {
@@ -80,12 +81,20 @@ class VGGFeatureExtractor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        """x: (B, H, W, 3) RGB in [0, 1]. Returns {layer_name: feature}."""
+    def __call__(self, x, valid_shape=None):
+        """x: (B, H, W, 3) RGB in [0, 1]. Returns {layer_name: feature}.
+
+        ``valid_shape`` (vh, vw) enables the bucket-padding invariance
+        protocol (arch_util.valid_mask): each conv output is re-zeroed
+        in the pad bands so valid-region activations equal the
+        exact-shape run's. None (training / exact shapes) is a no-op.
+        """
         if self.use_input_norm:
             mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
             std = jnp.asarray(IMAGENET_STD, x.dtype)
             x = (x - mean) / std
+        if valid_shape is not None:
+            x = x * valid_mask(x, valid_shape)
 
         names = NAMES[self.vgg_type]
         max_idx = max(names.index(v) for v in self.layer_name_list)
@@ -96,6 +105,8 @@ class VGGFeatureExtractor(nn.Module):
             if name.startswith('conv'):
                 x = nn.Conv(_conv_out_channels(name), (3, 3), padding=1,
                             dtype=self.dtype, name=name)(x)
+                if valid_shape is not None:
+                    x = x * valid_mask(x, valid_shape)
             elif name.startswith('relu'):
                 x = nn.relu(x)
             elif name.startswith('pool'):
@@ -104,6 +115,8 @@ class VGGFeatureExtractor(nn.Module):
                 x = nn.max_pool(x, (2, 2),
                                 strides=(self.pooling_stride,
                                          self.pooling_stride))
+                if self.pooling_stride == 2:
+                    valid_shape = halve_valid(valid_shape)
             if name in wanted:
                 output[name] = x
         return output
@@ -117,18 +130,23 @@ class ContrasExtractorLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid_shape=None):
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
         x = (x - mean) / std
+        if valid_shape is not None:
+            x = x * valid_mask(x, valid_shape)
         for name in vgg_layer_prefix('vgg16', 'conv3_1'):
             if name.startswith('conv'):
                 x = nn.Conv(_conv_out_channels(name), (3, 3), padding=1,
                             dtype=self.dtype, name=name)(x)
+                if valid_shape is not None:
+                    x = x * valid_mask(x, valid_shape)
             elif name.startswith('relu'):
                 x = nn.relu(x)
             elif name.startswith('pool'):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                valid_shape = halve_valid(valid_shape)
         return x
 
 
@@ -139,9 +157,11 @@ class ContrasExtractorSep(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, image1, image2):
+    def __call__(self, image1, image2, valid_shape=None):
         f1 = ContrasExtractorLayer(dtype=self.dtype,
-                                   name='feature_extraction_image1')(image1)
+                                   name='feature_extraction_image1')(
+                                       image1, valid_shape)
         f2 = ContrasExtractorLayer(dtype=self.dtype,
-                                   name='feature_extraction_image2')(image2)
+                                   name='feature_extraction_image2')(
+                                       image2, valid_shape)
         return {'dense_features1': f1, 'dense_features2': f2}

@@ -128,13 +128,19 @@ class RefRestorationModel(SRModel):
                                         ref_feat)
 
     # ------------------------------------------------------------ builders
-    def _match_graph(self, extractor_params, map_vars, img_in_up, img_ref):
+    def _match_graph(self, extractor_params, map_vars, img_in_up, img_ref,
+                     valid_shape=None):
         """Extractor + correspondence generation subgraph (traced inline
-        into the fused train steps and into the standalone _match jit)."""
+        into the fused train steps and into the standalone _match jit).
+
+        ``valid_shape``: (vh, vw) valid HR sizes when the eval batch is
+        bucket-padded — threaded through the extractor/matcher/VGG so the
+        valid region computes exactly the exact-shape values (training
+        passes None: train crops are never padded)."""
         feats = self.net_extractor.apply(extractor_params, img_in_up,
-                                         img_ref)
+                                         img_ref, valid_shape)
         pre_offset, img_ref_feat = self.net_map.apply(map_vars, feats,
-                                                      img_ref)
+                                                      img_ref, valid_shape)
         return (jax.tree.map(jax.lax.stop_gradient, pre_offset),
                 jax.tree.map(jax.lax.stop_gradient, img_ref_feat))
 
@@ -144,9 +150,11 @@ class RefRestorationModel(SRModel):
     def _build_forward(self):
 
         @jax.jit
-        def forward(g_params, img_in_lq, pre_offset, img_ref_feat):
+        def forward(g_params, img_in_lq, pre_offset, img_ref_feat,
+                    valid_shape=None):
             return self._g_forward_with_stats(g_params, img_in_lq,
-                                              pre_offset, img_ref_feat)
+                                              pre_offset, img_ref_feat,
+                                              valid_shape)
 
         return forward
 
@@ -345,13 +353,14 @@ class RefRestorationModel(SRModel):
         return l_d_total, (logs, dict(new_state))
 
     def _g_forward_with_stats(self, g_params, img_in_lq, pre_offset,
-                              ref_feat):
+                              ref_feat, valid_shape=None):
         """G forward that also surfaces the sown DynAgg offset telemetry
         (the reference's exploding-offset warning source,
-        dcn_v2.py:247-250)."""
+        dcn_v2.py:247-250). ``valid_shape``: valid LR sizes of a
+        bucket-padded eval batch (None in training)."""
         output, aux = self.net_g.apply(
             {'params': g_params}, img_in_lq, pre_offset, ref_feat,
-            mutable=['intermediates'])
+            valid_shape, mutable=['intermediates'])
         return output, self._offset_stats(aux['intermediates'])
 
     @staticmethod
@@ -510,10 +519,15 @@ class RefRestorationModel(SRModel):
             'img_in_up': batch['img_in_up'],
         }
         self._eval_crop = None
+        self._valid_lr = None
         if not self.is_train:
             # bucket-pad eval shapes so XLA compiles once per bucket, not
             # once per image (static-shape discipline, SURVEY.md §7);
-            # output is cropped back in _validation_images
+            # output is cropped back in _validation_images. The valid
+            # (pre-pad) sizes ride into test() as traced scalars so the
+            # networks can mask the pad bands — the valid crop then
+            # equals the exact-shape run bit-for-bit up to reassociation
+            # (bucket-padding invariance; tests/test_eval_padding.py).
             lq = arrays['img_in_lq']
             b_lr = self._EVAL_BUCKET
             h, w = lq.shape[1:3]
@@ -529,6 +543,7 @@ class RefRestorationModel(SRModel):
                 arrays['img_ref'] = pad_to(arrays['img_ref'], 4 * b_lr)
                 arrays['img_in_up'] = pad_to(arrays['img_in_up'], 4 * b_lr)
                 self._eval_crop = (4 * h, 4 * w)
+                self._valid_lr = (h, w)
         # val_spatial_shard: batch-1 eval on a multi-device mesh splits
         # each image into horizontal bands across devices (XLA inserts
         # the halos/collectives) instead of replicating the whole
@@ -567,12 +582,19 @@ class RefRestorationModel(SRModel):
             self.opt_state_d = opt_d
 
     def test(self):
+        vs_lr = getattr(self, '_valid_lr', None)
+        vs_hr = None
+        if vs_lr is not None:
+            # plain-int leaves: traced by jit (no recompile per valid
+            # size within a bucket), masked comparisons on device
+            vs_lr = (int(vs_lr[0]), int(vs_lr[1]))
+            vs_hr = (4 * vs_lr[0], 4 * vs_lr[1])
         pre_offset, ref_feat = self._match(
             self.vars_extractor, self.vars_map, self.batch['img_in_up'],
-            self.batch['img_ref'])
+            self.batch['img_ref'], vs_hr)
         self.output, stats = self._forward(self.vars_g['params'],
                                            self.batch['img_in_lq'],
-                                           pre_offset, ref_feat)
+                                           pre_offset, ref_feat, vs_lr)
         # exploding-offset detection in eval forwards too (the reference
         # warns in every DCN forward, dcn_v2.py:247-250); fetched here,
         # after the output fetch, so it adds no extra sync point

@@ -73,12 +73,18 @@ def upsample_flow(flow, factor):
 
 
 @functools.partial(jax.jit, static_argnames=('patch_size',))
-def match_to_pre_offsets(max_idx, patch_size=3):
+def match_to_pre_offsets(max_idx, patch_size=3, valid_shape=None):
     """From a single image's match indices to the three-scale 9-candidate
     pre-offset stacks used by the restoration net.
 
     Args:
         max_idx: (h-2, w-2) flat match indices at relu3_1 scale.
+        valid_shape: None, or (vh, vw) valid relu3-scale sizes when the
+            features are bucket-padded (eval invariance protocol): the
+            exact-shape run zero-pads the flow's last ``pad`` rows/cols
+            at ITS border (index_to_flow), which here lies inside the
+            padded grid — so the flow is re-zeroed at rows >= vh-pad /
+            cols >= vw-pad to match.
 
     Returns:
         dict with 'relu3_1': (9, h, w, 2), 'relu2_1': (9, 2h, 2w, 2),
@@ -86,6 +92,13 @@ def match_to_pre_offsets(max_idx, patch_size=3):
     """
     pad = patch_size - 1
     flow3 = index_to_flow(max_idx, pad=pad)           # (h, w, 2)
+    if valid_shape is not None:
+        h, w = flow3.shape[:2]
+        vh = jnp.asarray(valid_shape[0], jnp.int32) - pad
+        vw = jnp.asarray(valid_shape[1], jnp.int32) - pad
+        row = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (h, w, 1), 1)
+        flow3 = flow3 * ((row < vh) & (col < vw)).astype(flow3.dtype)
     offsets3 = shifted_offsets(flow3, step=1)
 
     flow2 = upsample_flow(flow3, 2)
@@ -97,12 +110,13 @@ def match_to_pre_offsets(max_idx, patch_size=3):
     return {'relu3_1': offsets3, 'relu2_1': offsets2, 'relu1_1': offsets1}
 
 
-def batched_pre_offsets(max_idx, patch_size=3):
+def batched_pre_offsets(max_idx, patch_size=3, valid_shape=None):
     """vmap of ``match_to_pre_offsets`` over the batch: (B, h-2, w-2) ->
-    dict of (B, 9, H, W, 2)."""
+    dict of (B, 9, H, W, 2). ``valid_shape`` is batch-uniform (the eval
+    bucketing keys on exact shapes, so a bucket's batch shares one)."""
     return jax.vmap(
-        functools.partial(match_to_pre_offsets,
-                          patch_size=patch_size))(max_idx)
+        functools.partial(match_to_pre_offsets, patch_size=patch_size,
+                          valid_shape=valid_shape))(max_idx)
 
 
 def resize_flow(flow, size_type, sizes, method='bilinear'):

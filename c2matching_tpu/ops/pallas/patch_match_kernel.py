@@ -29,12 +29,14 @@ DEFAULT_TQ = 512
 DEFAULT_TR = 512
 
 
-def _match_kernel(nr_ref, q_ref, r_ref, val_ref, idx_ref):
+def _match_kernel(nr_ref, q_ref, r_ref, bias_ref, val_ref, idx_ref):
     """One (query-tile, ref-tile) step.
 
     nr_ref: scalar-prefetch (1,) int32 — number of valid ref rows.
     q_ref: (TQ, D) query descriptors.
     r_ref: (TR, D) normalized ref descriptors (zero-padded past nr).
+    bias_ref: (1, TR) f32 additive score bias (0, or -1e30 to exclude a
+        ref candidate — the eval bucket-padding invariance protocol).
     val_ref/idx_ref: (TQ, 1) running max / argmax, revisited over j.
     """
     j = pl.program_id(1)
@@ -44,6 +46,7 @@ def _match_kernel(nr_ref, q_ref, r_ref, val_ref, idx_ref):
         q_ref[:], r_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)          # (TQ, TR)
+    corr = corr + bias_ref[:]
 
     # mask out padded ref rows
     col_ids = jax.lax.broadcasted_iota(jnp.int32, corr.shape, 1) + j * tr
@@ -75,7 +78,7 @@ def _pad_rows(x, multiple):
 
 @functools.partial(jax.jit,
                    static_argnames=('tile_q', 'tile_r', 'interpret'))
-def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
+def match_argmax(q, r, ref_bias=None, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
                  interpret=False):
     """argmax over ref rows of q @ r.T without materializing the scores.
 
@@ -83,6 +86,8 @@ def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
         q: (Nq, D) query descriptors (f32, or bf16 for the single-pass
            MXU path — accumulation is always f32).
         r: (Nr, D) ref descriptors, same dtype (normalized by caller).
+        ref_bias: optional (Nr,) f32 additive score bias (0 to keep,
+           -1e30 to exclude a candidate — bucket-pad invariance).
     Returns:
         (max_idx int32 (Nq,), max_val float32 (Nq,)).
     """
@@ -91,6 +96,11 @@ def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
     qp = _pad_rows(q, tile_q)
     rp = _pad_rows(r, tile_r)
     grid = (qp.shape[0] // tile_q, rp.shape[0] // tile_r)
+    if ref_bias is None:
+        bias_row = jnp.zeros((1, rp.shape[0]), jnp.float32)
+    else:
+        bias_row = _pad_rows(ref_bias.astype(jnp.float32).reshape(-1, 1),
+                             tile_r).reshape(1, -1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -98,6 +108,7 @@ def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
         in_specs=[
             pl.BlockSpec((tile_q, d), lambda i, j, *_: (i, 0)),
             pl.BlockSpec((tile_r, d), lambda i, j, *_: (j, 0)),
+            pl.BlockSpec((1, tile_r), lambda i, j, *_: (0, j)),
         ],
         out_specs=[
             pl.BlockSpec((tile_q, 1), lambda i, j, *_: (i, 0)),
@@ -120,6 +131,6 @@ def match_argmax(q, r, tile_q=DEFAULT_TQ, tile_r=DEFAULT_TR,
             bytes_accessed=(qp.shape[0] * d + grid[0] * rp.shape[0] * d)
             * qp.dtype.itemsize,
             transcendentals=0),
-    )(jnp.asarray([nr], jnp.int32), qp, rp)
+    )(jnp.asarray([nr], jnp.int32), qp, rp, bias_row)
 
     return idx[:nq, 0], val[:nq, 0]

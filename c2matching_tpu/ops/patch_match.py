@@ -62,7 +62,7 @@ _PALLAS_MIN_ROWS = 4096
                    static_argnames=('patch_size', 'use_pallas',
                                     'compute_dtype'))
 def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
-                compute_dtype=None):
+                compute_dtype=None, valid_shape=None):
     """Dense patch matching for a single image pair.
 
     Args:
@@ -79,6 +79,12 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
             Normalization, accumulation and the final value stay f32;
             only near-tie argmax decisions can flip (~0.4% descriptor
             rounding).
+        valid_shape: None, or (vh, vw) valid FEATURE sizes (ints or
+            traced scalars) when the features are bucket-padded: ref
+            patches extending past the valid region are excluded from
+            the argmax (score -1e30), so the winner set equals the
+            exact-shape run's (the reference never pads to buckets —
+            eval invariance protocol, arch_util.valid_mask).
 
     Returns:
         (max_idx, max_val): both (H-p+1, W-p+1). ``max_idx`` is the flat
@@ -91,11 +97,22 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
     d_in = unfold_descriptors(feat_in, patch_size)    # (H', W', D)
     d_ref = unfold_descriptors(feat_ref, patch_size)  # (H', W', D)
     hh, ww, dim = d_in.shape
+    hr, wr = d_ref.shape[:2]
     q = d_in.reshape(hh * ww, dim)
     r = d_ref.reshape(-1, dim)
 
     r_norm = jnp.sqrt(jnp.sum(r * r, axis=-1, keepdims=True)) + 1e-5
     r = r / r_norm
+
+    ref_bias = None
+    if valid_shape is not None:
+        vh = jnp.asarray(valid_shape[0], jnp.int32) - (patch_size - 1)
+        vw = jnp.asarray(valid_shape[1], jnp.int32) - (patch_size - 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hr, wr), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (hr, wr), 1)
+        ok = (row < vh) & (col < vw)
+        ref_bias = jnp.where(ok, 0.0, -1e30).astype(
+            jnp.float32).reshape(-1)
 
     # q_norm from the full-precision descriptors, before any cast
     q_norm = jnp.sqrt(jnp.sum(q * q, axis=-1)) + 1e-5
@@ -113,10 +130,12 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
                                                         'cuda', 'rocm'))
     if use_pallas:
         from .pallas import match_argmax
-        max_idx, max_val = match_argmax(q, r)
+        max_idx, max_val = match_argmax(q, r, ref_bias=ref_bias)
     else:
         # One large MXU matmul: (n_q, D) @ (D, n_r).
         corr = jnp.dot(q, r.T, preferred_element_type=jnp.float32)
+        if ref_bias is not None:
+            corr = corr + ref_bias[None, :]
         max_idx = jnp.argmax(corr, axis=-1)
         max_val = jnp.max(corr, axis=-1)
 
@@ -127,13 +146,15 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
 
 
 def batched_patch_match(feat_in, feat_ref, patch_size=3,
-                        compute_dtype=None):
+                        compute_dtype=None, valid_shape=None):
     """vmap of ``patch_match`` over the batch axis.
 
     Replaces the reference's per-image Python loop
     (corres_generation_arch.py:52).
-    feat_in/feat_ref: (B, H, W, C).
+    feat_in/feat_ref: (B, H, W, C). ``valid_shape`` is batch-uniform
+    (the eval bucketing keys on exact shapes).
     """
     return jax.vmap(
         functools.partial(patch_match, patch_size=patch_size,
-                          compute_dtype=compute_dtype))(feat_in, feat_ref)
+                          compute_dtype=compute_dtype,
+                          valid_shape=valid_shape))(feat_in, feat_ref)

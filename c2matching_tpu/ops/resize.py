@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 
-def _axis_resize(x, axis, out_n):
+def _axis_resize(x, axis, out_n, valid_n=None):
     """1-D bilinear resample along ``axis`` to an arbitrary size with
     half-pixel centers (torch F.interpolate align_corners=False; NO
     antialiasing even when downscaling — torch's bilinear does not
@@ -21,6 +21,12 @@ def _axis_resize(x, axis, out_n):
     jax.image.resize lowers to a kernel-2/stride-1 window convolution
     that trips the TPU fusion emitter's bounds==strides check when fused
     into a larger program — this formulation avoids window ops entirely.
+
+    ``valid_n`` (int or traced scalar): when ``x`` is bucket-padded along
+    ``axis``, the index of the last REAL sample is valid_n-1; clamping
+    the source coordinate there reproduces the exact-shape run's border
+    clamp on the valid output range (outputs past it are pad-band and
+    masked/cropped by the caller). The output length stays ``out_n``.
     """
     n = x.shape[axis]
     scale = n / out_n
@@ -29,11 +35,17 @@ def _axis_resize(x, axis, out_n):
     # out-of-range half-pixel centers to the border sample, so the
     # fraction must be recomputed after clamping (coords < 0 -> x[0]
     # exactly, not a lerp toward x[1]).
-    coords = jnp.clip(coords, 0.0, float(n - 1))
+    if valid_n is None:
+        hi = float(n - 1)
+        hi_i = n - 1
+    else:
+        hi_i = jnp.minimum(jnp.asarray(valid_n, jnp.int32), n) - 1
+        hi = hi_i.astype(jnp.float32)
+    coords = jnp.clip(coords, 0.0, hi)
     i0f = jnp.floor(coords)
     frac = coords - i0f
     i0 = i0f.astype(jnp.int32)
-    i1 = jnp.clip(i0 + 1, 0, n - 1)
+    i1 = jnp.clip(i0 + 1, 0, hi_i)
     x0 = jnp.take(x, i0, axis=axis)
     x1 = jnp.take(x, i1, axis=axis)
     shape = [1] * x.ndim
@@ -42,11 +54,11 @@ def _axis_resize(x, axis, out_n):
     return x0 * (1.0 - frac) + x1 * frac
 
 
-def _axis_lerp(x, axis, factor):
+def _axis_lerp(x, axis, factor, valid_n=None):
     """Integer-factor upsample = the exact special case
     ``_axis_resize(x, axis, n*factor)`` (one border-semantics
     implementation to maintain, not two)."""
-    return _axis_resize(x, axis, x.shape[axis] * factor)
+    return _axis_resize(x, axis, x.shape[axis] * factor, valid_n=valid_n)
 
 
 @functools.partial(jax.jit, static_argnames=('out_h', 'out_w'))
@@ -58,16 +70,24 @@ def bilinear_resize(x, out_h, out_w):
 
 
 @functools.partial(jax.jit, static_argnames=('factor', 'method'))
-def upscale(x, factor=4, method='bilinear'):
+def upscale(x, factor=4, method='bilinear', valid_shape=None):
     """Upsample NHWC by an integer factor.
 
     'bilinear' matches torch F.interpolate(..., mode='bilinear',
     align_corners=False) — half-pixel centers, separable along H then W.
+
+    ``valid_shape`` (vh, vw): bucket-padded input — border-clamp at the
+    last REAL row/col so valid outputs equal the exact-shape run's (the
+    exact run clamps its final half-pixel centers to ITS border, which
+    is interior here; see _axis_resize).
     """
     if method == 'nearest':
+        assert valid_shape is None
         return nearest_up(x, factor)
     assert method == 'bilinear', method
-    return _axis_lerp(_axis_lerp(x, 1, factor), 2, factor)
+    vh, vw = valid_shape if valid_shape is not None else (None, None)
+    return _axis_lerp(_axis_lerp(x, 1, factor, valid_n=vh), 2, factor,
+                      valid_n=vw)
 
 
 @functools.partial(jax.jit, static_argnames=('factor',))

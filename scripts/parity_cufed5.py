@@ -28,6 +28,13 @@ import sys
 sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__),
                                         osp.pardir)))
 
+# e.g. C2MATCHING_PLATFORM=cpu runs this CLI on CPU (tests/CI); the env
+# sitecustomize imports jax before argv parsing, so env vars alone are
+# too late — same hook as mmsr/test.py:14-17.
+if os.environ.get('C2MATCHING_PLATFORM'):
+    import jax
+    jax.config.update('jax_platforms', os.environ['C2MATCHING_PLATFORM'])
+
 BASELINES = {  # (PSNR dB, SSIM) — paper Table 1 via BASELINE.md
     'mse': (28.24, 0.841),
     'gan': (27.16, 0.805),
@@ -72,9 +79,34 @@ def build_opt(args):
     return dict_to_nonedict(opt)
 
 
+def _make_synthetic(args):
+    """--synthetic: generate a seeded synthetic dataset in CUFED5 layout
+    and point the harness at it with random-init weights (VERDICT r3
+    item 4: prove the one-command harness runs end to end TODAY, so it
+    is known-good the day real weights/data appear). Metrics are
+    meaningless (random weights) — the exercise is the plumbing:
+    dataset -> pair padding -> bucket-padded eval -> metrics -> JSON."""
+    import subprocess
+    root = osp.join(args.out, 'synth_data')
+    subprocess.run(
+        [sys.executable,
+         osp.join(osp.dirname(osp.abspath(__file__)),
+                  'make_synth_dataset.py'),
+         root, '--n', str(args.synthetic_n),
+         '--size', str(args.synthetic_size),
+         '--ref-size', str(args.synthetic_size + 24)],
+        check=True)
+    args.data = osp.join(root, 'input')
+    args.data_ref = osp.join(root, 'ref')
+    args.pairs = osp.join(root, 'pairs.txt')
+    args.model = 'none'
+    args.weights_g = args.weights_extractor = args.weights_vgg = None
+    return args
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument('--data', required=True,
+    p.add_argument('--data', default=None,
                    help='input image dir (CUFED5 layout)')
     p.add_argument('--data-ref', default=None,
                    help='reference image dir (default: --data)')
@@ -91,7 +123,17 @@ def main():
     p.add_argument('--scale', type=int, default=4)
     p.add_argument('--out', default='./results/parity')
     p.add_argument('--save-img', action='store_true')
+    p.add_argument('--synthetic', action='store_true',
+                   help='dry-run on generated synthetic data with '
+                        'random-init weights (no --data needed)')
+    p.add_argument('--synthetic-n', type=int, default=2)
+    p.add_argument('--synthetic-size', type=int, default=72)
     args = p.parse_args()
+    if args.synthetic:
+        os.makedirs(args.out, exist_ok=True)
+        args = _make_synthetic(args)
+    elif not args.data:
+        p.error('--data is required (or pass --synthetic)')
 
     import numpy as np
     from c2matching_tpu.data import create_dataloader, create_dataset

@@ -194,6 +194,74 @@ def test_composite_parity_full_scale(ref_archs, tmp_path):
     assert report['out_delta'] < 1e-3, report
 
 
+def test_composite_parity_production_padded_path(ref_archs, tmp_path):
+    """Full-scale parity THROUGH the production eval path (VERDICT r3
+    item 2): torch reference at the exact CUFED5 shape (512x336, never
+    bucket-padded) vs RefRestorationModel.feed_data/test, whose LR 84 is
+    bucket-padded to 96 (+12 pad rows through VGG, matcher and DCN) and
+    cropped back. Passing means the bucket-padding protocol (valid-mask
+    threading, tests/test_eval_padding.py) holds at full scale on the
+    real model plumbing, not just on raw archs at exact shapes."""
+    import jax
+
+    from c2matching_tpu.models import create_model
+    from c2matching_tpu.utils import dict_to_nonedict
+    from c2matching_tpu.utils.pth_import import import_corres_generation
+
+    gt_h, gt_w = 512, 336
+    lr_h, lr_w = gt_h // 4, gt_w // 4
+    assert lr_w % 16, 'need a non-bucket-multiple LR shape'
+    rng = np.random.RandomState(1)
+    img_lr = _smooth_image(rng, lr_h, lr_w)
+    img_ref = _smooth_image(rng, gt_h, gt_w)
+    from c2matching_tpu.data.util import imresize_np
+    img_up = imresize_np(img_lr, 4.).astype(np.float32)
+
+    ext_t, cg_t, net_t = _build_reference_nets(ref_archs, seed=1)
+    paths = {}
+    for name, mod in (('ext', ext_t), ('cg', cg_t), ('g', net_t)):
+        p = str(tmp_path / f'{name}.pth')
+        torch.save(mod.state_dict(), p)
+        paths[name] = p
+
+    def chw(x):
+        return torch.from_numpy(x.transpose(2, 0, 1)[None].copy())
+
+    with torch.no_grad():
+        feats_t = ext_t(chw(img_up), chw(img_ref))
+        pre_offset_t, ref_feat_t = cg_t(feats_t, chw(img_ref))
+        out_t = net_t(chw(img_lr), pre_offset_t, ref_feat_t)
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+
+    opt = dict_to_nonedict({
+        'name': 'prod_padded_parity', 'is_train': False,
+        'model_type': 'RefRestorationModel', 'scale': 4, 'crop_border': 4,
+        'manual_seed': 1,
+        'network_g': {'type': 'RestorationNet', 'ngf': 64, 'n_blocks': 16,
+                      'groups': 8},
+        'network_map': {'type': 'CorrespondenceGenerationArch'},
+        'network_extractor': {'type': 'ContrasExtractorSep'},
+        'path': {'models': str(tmp_path), 'training_state': str(tmp_path),
+                 'visualization': str(tmp_path),
+                 'pretrain_model_g': paths['g'],
+                 'pretrain_model_feature_extractor': paths['ext'],
+                 'strict_load': True},
+    })
+    model = create_model(opt)
+    model.vars_map = model.replicate(
+        jax.tree.map(jnp.asarray, import_corres_generation(paths['cg'])))
+
+    model.feed_data({'img_in': np.zeros((1, gt_h, gt_w, 3), np.float32),
+                     'img_in_lq': img_lr[None], 'img_in_up': img_up[None],
+                     'img_ref': img_ref[None]})
+    assert model._eval_crop == (gt_h, gt_w)  # the bucket pad engaged
+    model.test()
+    out_j = np.asarray(jax.device_get(model.output))[:, :gt_h, :gt_w]
+
+    delta = float(np.max(np.abs(out_j - out_t)))
+    assert delta < 1e-3, delta
+
+
 def test_discriminator_torch_parity(ref_archs, tmp_path):
     """Reference ImageDiscriminator (verbatim torch, eval-mode BN) ->
     import_discriminator -> flax forward parity (the one arch the
