@@ -209,15 +209,13 @@ class RefRestorationModel(SRModel):
         self.net_g_pretrain_steps = train_opt['net_g_pretrain_steps']
         self.net_d_steps = train_opt.get('net_d_steps') or 1
         self.net_d_init_steps = train_opt.get('net_d_init_steps') or 0
-        if self.net_d_steps > 1:
-            # do_g enters the fused step as a static argument: each of
-            # the two variants (G-step / D-only) compiles a full fused
-            # executable — minutes each through a remote-compile path.
-            logger.warning(
-                f'net_d_steps={self.net_d_steps} > 1: the fused GAN step '
-                'compiles TWO full variants (with and without the G '
-                'phase); expect a second multi-minute compile at the '
-                'first D-only iteration.')
+        if self.net_d_steps > 1 or self.net_d_init_steps > 0:
+            logger.info(
+                f'net_d_steps={self.net_d_steps} / net_d_init_steps='
+                f'{self.net_d_init_steps}: D-only iterations exist, so '
+                'the fused GAN step takes do_g as a traced boolean '
+                '(lax.cond around the G phase) — ONE compiled '
+                'executable for both iteration kinds.')
 
         # --- optimizers
         lr_tree = _offset_lr_tree(self.vars_g['params'], train_opt)
@@ -438,14 +436,28 @@ class RefRestorationModel(SRModel):
     def _build_gan_step(self):
         """The whole post-pretrain iteration as ONE donated jit (see
         module docstring): match -> single G forward (jax.vjp) ->
-        D update -> G update with the updated D. ``do_g`` is static:
-        the rare net_d_steps>1 configs compile two variants."""
-        with_d = self.net_d is not None
+        D update -> G update with the updated D.
 
-        @functools.partial(jax.jit, static_argnames=('do_g',),
-                           donate_argnums=(0, 1, 2, 3))
-        def step(g_params, opt_g, d_vars, opt_d, extractor_vars, map_vars,
-                 batch, perceptual_vars, rng, *, do_g):
+        ``do_g`` handling: configs with no D-only iterations (shipped
+        production: net_d_steps=1, net_d_init_steps=0 — do_g is True at
+        every step) take it as a STATIC argument, so exactly one
+        executable compiles and the G phase has no branch around it.
+        Configs WITH D-only iterations (net_d_steps>1 or
+        net_d_init_steps>0) would compile two full multi-minute
+        variants under the static scheme; for those, do_g becomes a
+        TRACED boolean and the G phase sits under ``lax.cond`` — one
+        compile, and XLA executes only the taken branch at runtime
+        (the skip branch is the identity on params/opt state and
+        returns zeroed G-loss logs, which ``optimize_parameters`` drops
+        from ``log_dict`` to match the reference's D-only logging,
+        ref_restoration_model.py:241-269)."""
+        with_d = self.net_d is not None
+        self._dynamic_do_g = (self.net_d_steps > 1
+                              or self.net_d_init_steps > 0)
+        self._g_log_keys = ()
+
+        def iteration(g_params, opt_g, d_vars, opt_d, extractor_vars,
+                      map_vars, batch, perceptual_vars, rng, do_g):
             pre_offset, ref_feat = self._match_graph(
                 extractor_vars, map_vars, batch['img_in_up'],
                 batch['img_ref'])
@@ -487,24 +499,69 @@ class RefRestorationModel(SRModel):
                     d_vars, opt_d, batch['img_in'], fake, rng)
                 logs.update(d_logs)
 
-            if do_g:
-                def out_loss(out):
-                    total, g_logs, dstate = self._out_losses(
-                        out, batch['img_in'], d_vars, perceptual_vars,
-                        with_d)
-                    return total, (g_logs, dstate)
+            def out_loss(out):
+                total, g_logs, dstate = self._out_losses(
+                    out, batch['img_in'], d_vars, perceptual_vars,
+                    with_d)
+                return total, (g_logs, dstate)
 
+            def g_phase(operand):
+                g_params, opt_g, d_vars = operand
                 (l_g, (g_logs, dstate)), dout = jax.value_and_grad(
                     out_loss, has_aux=True)(output)
                 grads_g = g_vjp(
                     (dout, jax.tree.map(jnp.zeros_like, stats)))[0]
-                updates, opt_g = self.tx_g.update(grads_g, opt_g, g_params)
+                updates, new_opt_g = self.tx_g.update(grads_g, opt_g,
+                                                      g_params)
                 g_params = optax.apply_updates(g_params, updates)
                 if dstate:
                     d_vars = dict(d_vars, **dstate)
+                return g_params, new_opt_g, d_vars, g_logs
+
+            if isinstance(do_g, bool):                 # static variant
+                if do_g:
+                    g_params, opt_g, d_vars, g_logs = g_phase(
+                        (g_params, opt_g, d_vars))
+                    logs.update(g_logs)
+            else:                                      # traced variant
+                # zero G-logs of the exact structure the G branch
+                # produces (key set is config-static); eval_shape traces
+                # abstractly, no compute
+                _, (logs_shape, _) = jax.eval_shape(out_loss, output)
+                zero_logs = jax.tree.map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), logs_shape)
+                self._g_log_keys = tuple(zero_logs)
+
+                def skip_g(operand):
+                    g_params, opt_g, d_vars = operand
+                    return g_params, opt_g, d_vars, zero_logs
+
+                g_params, opt_g, d_vars, g_logs = jax.lax.cond(
+                    do_g, g_phase, skip_g, (g_params, opt_g, d_vars))
                 logs.update(g_logs)
 
             return g_params, opt_g, d_vars, opt_d, fake, logs
+
+        if self._dynamic_do_g:
+            step_dyn = jax.jit(iteration, donate_argnums=(0, 1, 2, 3))
+
+            def step(g_params, opt_g, d_vars, opt_d, extractor_vars,
+                     map_vars, batch, perceptual_vars, rng, *, do_g):
+                return step_dyn(g_params, opt_g, d_vars, opt_d,
+                                extractor_vars, map_vars, batch,
+                                perceptual_vars, rng,
+                                jnp.asarray(do_g, jnp.bool_))
+
+            step._inner_jit = step_dyn       # introspection (tests)
+            return step
+
+        @functools.partial(jax.jit, static_argnames=('do_g',),
+                           donate_argnums=(0, 1, 2, 3))
+        def step(g_params, opt_g, d_vars, opt_d, extractor_vars, map_vars,
+                 batch, perceptual_vars, rng, *, do_g):
+            return iteration(g_params, opt_g, d_vars, opt_d,
+                             extractor_vars, map_vars, batch,
+                             perceptual_vars, rng, do_g)
 
         return step
 
@@ -580,6 +637,13 @@ class RefRestorationModel(SRModel):
         if self.net_d:
             self.vars_d = d_vars
             self.opt_state_d = opt_d
+        if getattr(self, '_dynamic_do_g', False) and not do_g:
+            # D-only iteration under the traced-do_g step: the cond's
+            # skip branch returns zeroed G-loss logs for structural
+            # parity — drop them, matching the reference's D-only
+            # logging (ref_restoration_model.py:241-269)
+            self.log_dict = {k: v for k, v in self.log_dict.items()
+                             if k not in self._g_log_keys}
 
     def test(self):
         vs_lr = getattr(self, '_valid_lr', None)
