@@ -82,3 +82,24 @@ def test_check_resume_points_at_matching_ckpts(tmp_path):
     # survive untouched (frozen nets are loaded from pretrain on resume)
     assert (opt['path']['pretrain_model_feature_extractor']
             == '/stale/extractor.pth')
+
+
+def test_compile_cache_scoped_by_host_isa(tmp_path):
+    """The persistent cache dir must embed a host-ISA fingerprint:
+    XLA:CPU AOT executables compiled on another machine's vector
+    extensions load (with SIGILL-risk warnings) because XLA's own cache
+    key omits host machine features — observed live after a container
+    moved hosts. Same host => stable dir; different flags => new dir."""
+    from c2matching_tpu.utils import compile_cache as cc
+
+    fp = cc._host_fingerprint()
+    assert len(fp) == 12 and int(fp, 16) >= 0
+    assert fp == cc._host_fingerprint()
+
+    import jax
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        cc.enable_persistent_cache()
+        assert jax.config.jax_compilation_cache_dir.endswith(fp)
+    finally:
+        jax.config.update('jax_compilation_cache_dir', before)
