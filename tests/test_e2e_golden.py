@@ -22,10 +22,18 @@ REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
 # pinned on the 8-device virtual CPU mesh (XLA CPU f32); tolerance 1e-4
 # relative is PSNR-grade — re-pin deliberately if a numeric change is
 # intended, never to silence a drift.
+#
+# Re-pin history:
+# - round 4, bucket-padding invariance (PARITY.md "Round 4" item 2):
+#   eval at these shapes bucket-pads LR 40->48, and the pad bands used
+#   to leak into convs/matcher/flow; the invariance protocol masks them
+#   out, so padded eval now equals exact-shape eval and all three
+#   metrics moved UP (psnr 30.7375 -> 30.8132). Captured via the
+#   __main__ capture mode under the test's platform config.
 GOLDEN = {
-    'psnr': 30.737457398015376,
-    'psnr_y': 34.28109884894894,
-    'ssim_y': 0.9118228645094427,
+    'psnr': 30.813193655565332,
+    'psnr_y': 34.41070486923178,
+    'ssim_y': 0.9122629557683419,
 }
 
 
