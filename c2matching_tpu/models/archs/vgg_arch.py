@@ -96,6 +96,15 @@ class VGGFeatureExtractor(nn.Module):
         if valid_shape is not None:
             x = x * valid_mask(x, valid_shape)
 
+        if valid_shape is not None and self.pooling_stride != 2:
+            # a stride!=2 size-2 pool SHIFTS the valid region (row vh-1
+            # maxes over the pad row vh), and halve_valid below only
+            # models the stride-2 case — the pad-invariance guarantee
+            # would silently break, so reject the combination outright
+            raise NotImplementedError(
+                'valid_shape masking is only defined for pooling_stride'
+                f'=2, got {self.pooling_stride}')
+
         names = NAMES[self.vgg_type]
         max_idx = max(names.index(v) for v in self.layer_name_list)
         wanted = set(self.layer_name_list)

@@ -138,8 +138,13 @@ def main():
     import numpy as np
     from c2matching_tpu.data import create_dataloader, create_dataset
     from c2matching_tpu.models import create_model
-    from c2matching_tpu.utils import metrics, get_root_logger
+    from c2matching_tpu.utils import get_root_logger
+    from c2matching_tpu.utils.compile_cache import enable_persistent_cache
 
+    # real-weights runs pay multi-minute cold compiles per bucket
+    # through the remote-compile path without this (same policy as
+    # bench.py / serve.py / the mmsr CLIs)
+    enable_persistent_cache()
     os.makedirs(args.out, exist_ok=True)
     get_root_logger()
 
@@ -155,12 +160,13 @@ def main():
         sr_img, gt_img = model._validation_images(val_data)
         if args.save_img:
             model._save_val_image(sr_img, img_name, args.name, 'parity')
-        crop = opt['crop_border']
-        psnrs.append(metrics.psnr(sr_img, gt_img, crop_border=crop))
-        sr_y = metrics.bgr2ycbcr(sr_img / 255., only_y=True) * 255
-        gt_y = metrics.bgr2ycbcr(gt_img / 255., only_y=True) * 255
-        psnrs_y.append(metrics.psnr(sr_y, gt_y, crop_border=crop))
-        ssims_y.append(metrics.ssim(sr_y, gt_y, crop_border=crop))
+        # the model's own protocol (crop border, MATLAB-exact Y-channel
+        # chain) — the one place divergence from in-framework
+        # validation must be impossible
+        vals = model._compute_val_metrics(sr_img, gt_img)
+        psnrs.append(vals['psnr'])
+        psnrs_y.append(vals['psnr_y'])
+        ssims_y.append(vals['ssim_y'])
         print(f'{img_name}: PSNR {psnrs[-1]:.4f}  '
               f'PSNR_Y {psnrs_y[-1]:.4f}  SSIM_Y {ssims_y[-1]:.4f}',
               flush=True)

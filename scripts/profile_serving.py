@@ -18,25 +18,10 @@ import argparse
 import json
 import os.path as osp
 import sys
-import time
-
 sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), osp.pardir)))
 
 
-def timed(fn, inputs, iters):
-    """Simple mean over iters, one checksum fetch per iter (forces
-    execution through the tunnel; pytree outputs reduced leaf-wise)."""
-    import jax
-    import jax.numpy as jnp
-
-    def checksum(out):
-        return float(sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out)))
-
-    checksum(fn(*inputs[-1]))  # compile + warm
-    t0 = time.time()
-    for i in range(iters):
-        checksum(fn(*inputs[i]))
-    return (time.time() - t0) / iters
+from c2matching_tpu.utils.prof import calibrate_fetch, timed  # noqa: E402
 
 
 def main():
@@ -97,9 +82,8 @@ def main():
     t_g = timed(g_j, [(g_params, lrs[i], po, rf)
                       for i in range(n + 1)], n)
 
-    # calibrate the tunnel fetch round-trip with a trivial kernel
-    tiny = jax.jit(lambda x: x + 1.0)
-    t_fetch = timed(tiny, [(jnp.float32(i),) for i in range(n + 1)], n)
+    # calibrate the per-iteration protocol overhead (dispatches + fetch)
+    t_fetch = calibrate_fetch(n)
 
     rows = [('extractor', t_ext), ('matcher', t_cg), ('generator', t_g)]
     out = {'batch': b, 'fetch_overhead_ms': round(t_fetch * 1e3, 1)}

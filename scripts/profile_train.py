@@ -44,22 +44,7 @@ import numpy as np
 sys.path.insert(0, osp.abspath(osp.join(osp.dirname(__file__), osp.pardir)))
 
 
-def timed(fn, inputs, iters):
-    """Mean seconds over iters; one checksum fetch per iter forces
-    execution through the tunnel (block_until_ready does not)."""
-    import jax
-    import jax.numpy as jnp
-
-    def checksum(out):
-        return float(sum(jnp.sum(jnp.asarray(leaf, jnp.float32))
-                         for leaf in jax.tree.leaves(out)
-                         if hasattr(leaf, 'dtype')))
-
-    checksum(fn(*inputs[-1]))  # compile + warm
-    t0 = time.time()
-    for i in range(iters):
-        checksum(fn(*inputs[i]))
-    return (time.time() - t0) / iters
+from c2matching_tpu.utils.prof import calibrate_fetch, timed  # noqa: E402
 
 
 def main():
@@ -146,9 +131,8 @@ def main():
                     [(model.vars_d, model.opt_state_d, gts[i], fake,
                       rngs[i]) for i in range(n + 1)], n)
 
-    # tunnel fetch calibration
-    tiny = jax.jit(lambda x: x + 1.0)
-    t_fetch = timed(tiny, [(jnp.float32(i),) for i in range(n + 1)], n)
+    # per-iteration protocol overhead (dispatches + fetch)
+    t_fetch = calibrate_fetch(n)
 
     rows = [('match', t_match), ('g_forward', t_gfwd),
             ('loss_head', t_head), ('g_step', t_gstep),

@@ -50,15 +50,19 @@ def pytest_collection_modifyitems(config, items):
     """dp_trace tests are opt-in: the full-size DP-equivalence pair costs
     ~40 min of Python TRACING (not XLA compile — the persistent cache
     cannot help) on this 1-core host. They are skipped unless the user
-    selects markers explicitly (e.g. ``-m dp_trace``); the default run
-    covers the same property with the reduced smoke in
-    test_parallel_production.py."""
-    if config.getoption('-m'):
+    names the marker (``-m dp_trace``, ``-m 'dp_trace or fast'`` ...) or
+    selects a dp_trace test directly by node id; the default run — and
+    any unrelated ``-m`` filter — covers the same property with the
+    reduced smoke in test_parallel_production.py."""
+    if 'dp_trace' in (config.getoption('-m') or ''):
         return
     skip = pytest.mark.skip(
         reason='opt-in heavyweight trace test: run with -m dp_trace')
+    # an arg like path/to/test_x.py::test_name is an explicit ask — honor it
+    explicit = {a.replace(str(config.rootpath) + '/', '')
+                for a in config.args if '::' in a}
     for item in items:
-        if 'dp_trace' in item.keywords:
+        if 'dp_trace' in item.keywords and item.nodeid not in explicit:
             item.add_marker(skip)
 
 

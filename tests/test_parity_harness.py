@@ -19,9 +19,11 @@ REPO = osp.abspath(osp.join(osp.dirname(__file__), osp.pardir))
 
 def test_parity_cufed5_synthetic_dry_run(tmp_path):
     out = str(tmp_path / 'parity_out')
-    env = dict(os.environ, C2MATCHING_PLATFORM='cpu', PYTHONPATH=REPO,
-               JAX_COMPILATION_CACHE_DIR=osp.join(REPO, '.xla_cache'),
-               JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS='10')
+    # no cache env overrides: the script calls enable_persistent_cache
+    # itself, which scopes the directory by host-ISA fingerprint (a raw
+    # JAX_COMPILATION_CACHE_DIR pointing at the .xla_cache root would
+    # bypass that scoping and resurrect the cross-host AOT hazard)
+    env = dict(os.environ, C2MATCHING_PLATFORM='cpu', PYTHONPATH=REPO)
     subprocess.run(
         [sys.executable, osp.join(REPO, 'scripts', 'parity_cufed5.py'),
          '--synthetic', '--out', out],
