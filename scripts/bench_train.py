@@ -16,11 +16,16 @@ params/opt-state chain already serializes the steps). --per-iter-fetch
 reverts to the older latency protocol (each iteration individually
 fetch-forced; transfer + ~36 ms fetch land inside every step).
 
-Per-iter-fetch measurements this reproduces (v5e): stage-3 f32
-611 ms/iter; with ``gather_dtype: bfloat16`` (the default here)
-547 ms/iter; stage-1 71-80 ms; stage-2 216-233 ms. The production
-protocol measures lower for the transfer-dominated contras stages —
-the step compute is ~tens of ms (see docs/PERFORMANCE.md).
+Reference numbers at HEAD (v5e, 2026-08-19, idle host): stage-3 GAN
+with ``gather_dtype: bfloat16`` (the default here) = ~341 ms/iter
+on-chip compute (--decompose), 358 ms/iter production run-ahead,
+545 ms/iter --per-iter-fetch (the transfer + ~27 ms fetch land inside
+every step; f32 per-iter-fetch was 611). Stages 1/2 compute is ~6-7
+ms/iter — their loop time is the 9.4 MB/iter tunnel transfer, which
+drifts with tunnel weather (stage-1 per-iter-fetch measured 71-80 ms on
+2026-08-18 and 267 ms on 2026-08-19 at identical compute); quote the
+--decompose step number, not the loop number, for anything durable.
+See docs/PERFORMANCE.md "Training".
 
 Usage: PYTHONPATH=. python scripts/bench_train.py [--f32]
 """

@@ -20,12 +20,14 @@ production code:
   d_step     D phase: real/fake forwards + WGAN-GP grad-of-grad +
              Adam update              (_build_d_step)
 
-match + g_step + d_step ≈ the whole iteration (the fused production
-step saves one G forward by reusing a single jax.vjp, and overlaps
-better — so the sum slightly OVERSTATES the fused 547 ms/iter; see
-docs/PERFORMANCE.md "Training"). Phase timings use the fetch-forced
-protocol (every number includes the ~36 ms tunnel round-trip,
-reported raw and net — see .claude/skills/verify/SKILL.md).
+match + g_step + d_step ≈ the whole iteration: the net phase sum
+(~327 ms at HEAD) runs a couple of percent under the fused step's
+~341 ms on-chip (the fused step adds optimizer/EMA bookkeeping but
+saves one G forward via a single jax.vjp; see docs/PERFORMANCE.md
+"Training"). Phase timings use the shared fused-checksum protocol
+(utils/prof.py): raw numbers include the calibrated ~27-29 ms tunnel
+round-trip, net numbers subtract it — see
+.claude/skills/verify/SKILL.md.
 
     python scripts/profile_train.py [--iters 4] [--total]
 
