@@ -133,6 +133,7 @@ def main():
     dt = (time.time() - t0) / n_iters
 
     ips = batch / dt
+    from c2matching_tpu.utils.bench_gate import (PINNED_SERVING_IPS, gate)
     print(json.dumps({
         'metric': 'images/sec/chip at 4x CUFED5-scale RefSR (512x336 HR), '
                   'batch 24 serving config (bf16 DCN gathers + bf16 match '
@@ -141,6 +142,10 @@ def main():
         'value': round(ips, 3),
         'unit': 'images/sec',
         'vs_baseline': round(ips / V100_BASELINE_IPS, 2),
+        # regression gate vs the pinned measured floor (reproducible to
+        # ~0.1% across rounds; 5% tolerance flags any real loss)
+        **gate(ips, PINNED_SERVING_IPS, higher_is_better=True,
+               tolerance=0.05),
     }))
 
 

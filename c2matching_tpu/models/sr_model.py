@@ -158,7 +158,13 @@ class SRModel(BaseModel):
     # extended with PSNR_Y/SSIM_Y by RefRestorationModel :295-370)
     def _validation_images(self, val_data):
         self.feed_data(val_data)
-        self.test()
+        # `val: use_x8: true` switches validation to the x8 self-ensemble
+        # (the reference defines test_x8 at sr_model.py:123-158 but never
+        # wires it to a config — dead code there; here it is reachable)
+        if (self.opt.get('val') or {}).get('use_x8'):
+            self.test_x8()
+        else:
+            self.test()
         sr_img = tensor2img(np.asarray(jax.device_get(self.output)))
         gt_img = tensor2img(np.asarray(val_data['img_in']))
         padding = val_data.get('padding', [False])[0] \

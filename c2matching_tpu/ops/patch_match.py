@@ -58,6 +58,29 @@ def unfold_descriptors(feat, patch_size=3):
 _PALLAS_MIN_ROWS = 4096
 
 
+@functools.lru_cache(maxsize=None)
+def _pallas_lowers(backend_name):
+    """One-time capability probe, cached per backend name: does the
+    Mosaic kernel LOWER on this backend?
+
+    Replaces the former name-denylist ('auto' excluded cpu/gpu/cuda/rocm
+    by name): tunneled TPU platforms register under their own names
+    (e.g. 'axon') and must keep the kernel, but an unknown NON-Mosaic
+    backend must fall back to the XLA matmul path instead of crashing.
+    Lowering is client-side (no device execution, no tunnel round-trip)
+    and unsupported backends fail fast at this stage ("Only interpret
+    mode is supported on CPU backend"), so one tiny abstract lower()
+    answers the question for the process lifetime.
+    """
+    from .pallas import match_argmax
+    tiny = jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    try:
+        jax.jit(lambda a, b: match_argmax(a, b)).lower(tiny, tiny)
+        return True
+    except Exception:
+        return False
+
+
 @functools.partial(jax.jit,
                    static_argnames=('patch_size', 'use_pallas',
                                     'compute_dtype'))
@@ -121,13 +144,13 @@ def patch_match(feat_in, feat_ref, patch_size=3, use_pallas='auto',
         r = r.astype(jnp.dtype(compute_dtype))
 
     if use_pallas == 'auto':
-        # the kernel is Mosaic-TPU only — cpu/gpu backends must take the
-        # XLA matmul path, not crash at lowering. Exclusion list rather
-        # than == 'tpu': tunneled TPU platforms register under their own
-        # names (e.g. 'axon') and must keep the kernel.
+        # the kernel is Mosaic-TPU only — other backends must take the
+        # XLA matmul path, not crash at lowering. Capability probe, not
+        # a backend-name list: tunneled TPU platforms register under
+        # their own names (e.g. 'axon') and must keep the kernel, while
+        # any non-Mosaic backend (known or future) falls back safely.
         use_pallas = (hh * ww >= _PALLAS_MIN_ROWS
-                      and jax.default_backend() not in ('cpu', 'gpu',
-                                                        'cuda', 'rocm'))
+                      and _pallas_lowers(jax.default_backend()))
     if use_pallas:
         from .pallas import match_argmax
         max_idx, max_val = match_argmax(q, r, ref_bias=ref_bias)

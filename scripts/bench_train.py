@@ -180,11 +180,25 @@ def main():
             step_ts.append(time.time() - t0)
         mb = sum(v.nbytes for v in batches[0].values()
                  if hasattr(v, 'nbytes')) / 2 ** 20
+        step_ms = statistics.median(step_ts) * 1e3
         print(f'decompose: on-chip step (+1 loss fetch) '
-              f'{statistics.median(step_ts) * 1e3:.1f} ms; '
+              f'{step_ms:.1f} ms; '
               f'batch transfer ({mb:.1f} MB, +1 fetch) '
               f'{statistics.median(xfer_ts) * 1e3:.1f} ms',
               file=sys.stderr)
+        # regression gate on the ON-CHIP compute number — only for the
+        # pinned configuration (stage-3 GAN, bf16 gathers, production
+        # batch/size). The loop number above is tunnel/host-sensitive
+        # and is deliberately not gated (CLAUDE.md: don't chase it).
+        if (args.stage == 3 and not args.pretrain and not args.f32
+                and args.unroll == 1 and b == 9 and gt == 160):
+            from c2matching_tpu.utils.bench_gate import (
+                PINNED_GAN_STEP_MS, gate)
+            gate_fields = gate(step_ms, PINNED_GAN_STEP_MS,
+                               higher_is_better=False, tolerance=0.10)
+            print('decompose gate: '
+                  f'{json.dumps({"pinned_ms": PINNED_GAN_STEP_MS, **gate_fields})}',
+                  file=sys.stderr)
 
     if args.stage == 3:
         kind = 'pretrain' if args.pretrain else 'GAN'

@@ -99,3 +99,31 @@ def test_patch_match_bf16_compute_tracks_f32():
     same = np.asarray(i32) == np.asarray(i16)
     np.testing.assert_allclose(np.asarray(v16)[same],
                                np.asarray(v32)[same], rtol=1e-2)
+
+
+def test_pallas_auto_select_is_capability_probe():
+    """The 'auto' path must resolve via a cached try-lower probe, not a
+    backend-name list: on this CPU test backend the probe must say False
+    (Mosaic cannot lower) and the big-image auto path must still run via
+    the XLA matmul instead of crashing at lowering."""
+    import jax
+    from c2matching_tpu.ops.patch_match import _pallas_lowers
+
+    backend = jax.default_backend()
+    assert backend == 'cpu'  # conftest forces the virtual CPU mesh
+    assert _pallas_lowers(backend) is False
+    # cached: a second call must not re-lower
+    hits_before = _pallas_lowers.cache_info().hits
+    assert _pallas_lowers(backend) is False
+    assert _pallas_lowers.cache_info().hits == hits_before + 1
+
+    # 70x70 -> 68*68 = 4624 query rows > _PALLAS_MIN_ROWS: 'auto' would
+    # have picked Pallas under the old name-denylist had 'cpu' not been
+    # listed; with the probe it falls back and matches the oracle.
+    rng = np.random.RandomState(3)
+    f_in = rng.rand(70, 70, 4).astype(np.float32)
+    f_ref = rng.rand(70, 70, 4).astype(np.float32)
+    idx, val = patch_match(jnp.asarray(f_in), jnp.asarray(f_ref))
+    ref_idx, ref_val = _np_patch_match(f_in, f_ref)
+    assert (np.asarray(idx) == ref_idx).mean() > 0.999
+    np.testing.assert_allclose(np.asarray(val), ref_val, atol=2e-5)
