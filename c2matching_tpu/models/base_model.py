@@ -25,6 +25,45 @@ from .lr_scheduler import build_schedule
 logger = logging.getLogger('base')
 
 
+def shift_schedule_count(opt_state, by):
+    """Advance every ScaleByScheduleState count in an optax state tree by
+    ``by`` iterations WITHOUT an optimizer update.
+
+    Reference-parity necessity: the reference steps every scheduler in
+    self.schedulers once per training iteration (base_model.py:155-167;
+    lr_steps milestones are ABSOLUTE iteration numbers), while each
+    torch optimizer itself only steps in its own phase. Our schedules
+    read the count stored in the optimizer state, which advances only
+    on actual updates — so phase-skipped iterations must advance it
+    explicitly:
+
+    - the D optimizer starts with count = net_g_pretrain_steps (its
+      scheduler — the ONLY scheduler stage 3 has upstream, see
+      RefRestorationModel.init_training_settings — "ran" through the
+      whole G-pretrain phase: with the shipped stage-3 config, pretrain
+      10k + milestone 72 545, D's first decay lands at iteration
+      72 545, not 82 545);
+    - G's count is bumped by 1 on D-only iterations (net_d_steps > 1 /
+      net_d_init_steps > 0, the lax.cond skip branch). This only
+      matters under ``train.schedule_net_g: true``; with the
+      reference-faithful default (G unscheduled in stage 3) opt_g
+      contains no ScaleByScheduleState and the bump is a structural
+      no-op.
+
+    The Adam moment/bias-correction count (ScaleByAdamState) is NOT
+    touched — torch Adam's per-param step also only advances on real
+    optimizer.step() calls.
+    """
+    def visit(s):
+        if isinstance(s, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(count=s.count + by)
+        return s
+
+    return jax.tree.map(
+        visit, opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+
+
 def _scale_by_tree(lr_tree):
     """optax transform multiplying each update leaf by a per-leaf factor
     (the 4-LR-group split, ref_restoration_model.py:70-85)."""

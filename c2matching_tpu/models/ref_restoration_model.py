@@ -26,6 +26,10 @@ round-1 unfused steps; tests pin fused-vs-unfused equivalence on them.
 
 Optimizer parity: 4 Adam param groups keyed on the same name substrings
 ('offset' x 'small'/'medium', :56-68) realized as a per-leaf LR tree.
+LR-schedule parity: upstream schedules ONLY net_d in stage 3 (its
+optimizer_g is appended after setup_schedulers already ran, :22,87) —
+see init_training_settings for the faithful default and the
+``train.schedule_net_g`` opt-in.
 """
 import functools
 import logging
@@ -39,7 +43,7 @@ import optax
 from ..utils import metrics, tensor2img
 from ..utils.registry import MODEL_REGISTRY
 from . import networks
-from .base_model import make_adam
+from .base_model import make_adam, shift_schedule_count
 from .losses import LOSS_REGISTRY, PerceptualLoss, gan_loss, \
     gradient_penalty_loss
 from .sr_model import SRModel
@@ -218,12 +222,28 @@ class RefRestorationModel(SRModel):
                 'executable for both iteration kinds.')
 
         # --- optimizers
+        # Upstream ordering quirk (reference parity): RefRestorationModel
+        # appends optimizer_g in __init__ AFTER SRModel.__init__ already
+        # ran init_training_settings -> setup_schedulers()
+        # (ref_restoration_model.py:22,87 vs sr_model.py:39,
+        # base_model.py:77-108), so the reference schedules ONLY the
+        # discriminator in EVERY stage-3 config: G's 4 groups keep their
+        # base LRs forever (lr_steps never decays them) and any
+        # warmup_iter > 0 crashes upstream (_get_init_lr KeyError —
+        # optimizer_g's groups never get 'initial_lr'). The default here
+        # reproduces the G-constant-LR behavior the published models
+        # were trained with; ``train.schedule_net_g: true`` opts into
+        # the evidently intended both-scheduled semantics (G's schedule
+        # count then advances once per ITERATION via
+        # shift_schedule_count, including on D-only iterations).
+        self._schedule_g = bool(train_opt.get('schedule_net_g'))
         lr_tree = _offset_lr_tree(self.vars_g['params'], train_opt)
         self.tx_g = make_adam(
             train_opt['lr_g'],
             betas=tuple(train_opt.get('beta_g') or (0.9, 0.999)),
             weight_decay=train_opt.get('weight_decay_g', 0) or 0,
-            schedule_fn=self.schedule_fn, lr_tree=lr_tree)
+            schedule_fn=self.schedule_fn if self._schedule_g else None,
+            lr_tree=lr_tree)
         self.opt_state_g = self.replicate(
             self.tx_g.init(self.vars_g['params']))
 
@@ -235,6 +255,12 @@ class RefRestorationModel(SRModel):
                 schedule_fn=self.schedule_fn)
             self.opt_state_d = self.replicate(
                 self.tx_d.init(self.vars_d['params']))
+            if self.net_g_pretrain_steps:
+                # the reference steps D's scheduler through the whole
+                # G-pretrain phase (lr milestones are absolute iteration
+                # numbers) — see shift_schedule_count
+                self.opt_state_d = shift_schedule_count(
+                    self.opt_state_d, self.net_g_pretrain_steps)
 
         self._g_pretrain_step = self._build_g_pretrain_step()
         if self.net_d:
@@ -253,6 +279,21 @@ class RefRestorationModel(SRModel):
         if self.net_d:
             lrs.append(t['lr_d'])
         return lrs
+
+    def current_learning_rates(self, step):
+        """Stage-3 LR report: only net_d's LR follows the schedule (the
+        reference's upstream ordering quirk — see
+        init_training_settings); G's 4 groups stay at their base LRs
+        unless ``train.schedule_net_g`` is on. The reference's own log
+        line shows optimizers[0] = optimizer_d's LR."""
+        out = []
+        n_g = 4
+        for i, lr in enumerate(self.base_lrs()):
+            scheduled = (i >= n_g or getattr(self, '_schedule_g', False))
+            out.append(float(self.schedule_fn(step, lr))
+                       if scheduled and self.schedule_fn is not None
+                       else float(lr))
+        return out
 
     # --------------------------------------------------------------- steps
     def _out_losses(self, output, gt, d_vars, perceptual_vars, with_gan):
@@ -523,6 +564,11 @@ class RefRestorationModel(SRModel):
                     g_params, opt_g, d_vars, g_logs = g_phase(
                         (g_params, opt_g, d_vars))
                     logs.update(g_logs)
+                else:
+                    # unreachable in production (static build requires
+                    # no D-only iterations) but kept consistent with the
+                    # traced skip branch: G's scheduler still advances
+                    opt_g = shift_schedule_count(opt_g, 1)
             else:                                      # traced variant
                 # zero G-logs of the exact structure the G branch
                 # produces (key set is config-static); eval_shape traces
@@ -534,7 +580,11 @@ class RefRestorationModel(SRModel):
 
                 def skip_g(operand):
                     g_params, opt_g, d_vars = operand
-                    return g_params, opt_g, d_vars, zero_logs
+                    # D-only iteration: the reference still steps G's
+                    # scheduler (milestones are absolute iterations) —
+                    # advance the schedule count without an Adam update
+                    return (g_params, shift_schedule_count(opt_g, 1),
+                            d_vars, zero_logs)
 
                 g_params, opt_g, d_vars, g_logs = jax.lax.cond(
                     do_g, g_phase, skip_g, (g_params, opt_g, d_vars))

@@ -1,14 +1,24 @@
 #!/usr/bin/env python
 """Generate a tiny synthetic CUFED-like dataset tree for tests/benchmarks.
 
-Real CUFED/CUFED5 images are not bundled (datasets/DATASETS.md documents
-the real layout). This writes deterministic structured images:
+Real CUFED/CUFED5/WR-SR images are not bundled (datasets/DATASETS.md
+documents the real layouts). This writes deterministic structured images
+in either layout (reference: datasets/DATASETS.md "Prepare Test Set"):
 
-    <root>/input/NNN_0.png   "input" images (gt_size x gt_size)
-    <root>/ref/NNN_1.png     paired reference images (same content, shifted)
-    <root>/pairs.txt         annotation file (input ref per line)
+    --layout cufed (default):
+        <root>/input/NNN_0.png   "input" images
+        <root>/ref/NNN_1.png     paired reference images
+    --layout wrsr (the 80-pair webly-referenced benchmark naming,
+    datasets/WR-SR_pairs.txt: "001.png 001_ref.png"):
+        <root>/input/NNN.png
+        <root>/ref/NNN_ref.png
+    <root>/pairs.txt             annotation file (input ref per line)
 
-Usage: python scripts/make_synth_dataset.py <root> [--n 8] [--size 160]
+Usage: python scripts/make_synth_dataset.py <root> [--n 8] [--size H [W]]
+       [--layout cufed|wrsr]
+
+``--size H W`` makes non-square inputs (exercises the rectangular eval
+bucket path; WR-SR web images are not square).
 """
 import argparse
 import os
@@ -41,27 +51,39 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('root')
     ap.add_argument('--n', type=int, default=8)
-    ap.add_argument('--size', type=int, default=160)
-    ap.add_argument('--ref-size', type=int, default=None,
+    ap.add_argument('--size', type=int, nargs='+', default=[160],
+                    help='input size: H (square) or H W')
+    ap.add_argument('--ref-size', type=int, nargs='+', default=None,
                     help='reference image size (default: same as --size)')
+    ap.add_argument('--layout', choices=('cufed', 'wrsr'), default='cufed',
+                    help='file naming: CUFED5 (NNN_0/NNN_1) or WR-SR '
+                         '(NNN/NNN_ref)')
     args = ap.parse_args()
+
+    def hw(size):
+        return (size[0], size[1] if len(size) > 1 else size[0])
+
+    in_h, in_w = hw(args.size)
+    ref_h, ref_w = hw(args.ref_size) if args.ref_size else (in_h, in_w)
 
     rng = np.random.RandomState(0)
     os.makedirs(os.path.join(args.root, 'input'), exist_ok=True)
     os.makedirs(os.path.join(args.root, 'ref'), exist_ok=True)
-    ref_size = args.ref_size or args.size
 
     lines = []
     for i in range(args.n):
-        img = synth_image(rng, args.size, args.size)
+        img = synth_image(rng, in_h, in_w)
         # ref: same content, small shift + brightness change, resized
         shift = rng.randint(2, 12)
         ref = np.roll(img, shift, axis=(0, 1)) * rng.uniform(0.9, 1.1)
         ref = np.clip(ref, 0, 1)
-        if ref_size != args.size:
-            ref = cv2.resize(ref, (ref_size, ref_size),
+        if (ref_h, ref_w) != (in_h, in_w):
+            ref = cv2.resize(ref, (ref_w, ref_h),
                              interpolation=cv2.INTER_CUBIC)
-        in_name, ref_name = f'{i:03d}_0.png', f'{i:03d}_1.png'
+        if args.layout == 'wrsr':
+            in_name, ref_name = f'{i + 1:03d}.png', f'{i + 1:03d}_ref.png'
+        else:
+            in_name, ref_name = f'{i:03d}_0.png', f'{i:03d}_1.png'
         cv2.imwrite(os.path.join(args.root, 'input', in_name),
                     (img[..., ::-1] * 255).round().astype(np.uint8))
         cv2.imwrite(os.path.join(args.root, 'ref', ref_name),

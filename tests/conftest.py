@@ -46,24 +46,33 @@ assert len(jax.devices()) == 8, 'expected 8 virtual CPU devices'
 import pytest  # noqa: E402
 
 
+#: opt-in markers — skipped unless named with -m or selected by node id:
+#: - dp_trace: the full-size DP-equivalence pair costs ~40 min of Python
+#:   TRACING (not XLA compile — the persistent cache cannot help) on
+#:   this 1-core host; the default run covers the same property with the
+#:   reduced smoke in test_parallel_production.py.
+#: - convergence: hundreds of torch iterations through the reference
+#:   stack (test_convergence_parity.py); trajectories pinned in
+#:   PARITY.md when run.
+OPT_IN_MARKERS = ('dp_trace', 'convergence')
+
+
 def pytest_collection_modifyitems(config, items):
-    """dp_trace tests are opt-in: the full-size DP-equivalence pair costs
-    ~40 min of Python TRACING (not XLA compile — the persistent cache
-    cannot help) on this 1-core host. They are skipped unless the user
-    names the marker (``-m dp_trace``, ``-m 'dp_trace or fast'`` ...) or
-    selects a dp_trace test directly by node id; the default run — and
-    any unrelated ``-m`` filter — covers the same property with the
-    reduced smoke in test_parallel_production.py."""
-    if 'dp_trace' in (config.getoption('-m') or ''):
-        return
-    skip = pytest.mark.skip(
-        reason='opt-in heavyweight trace test: run with -m dp_trace')
+    """Opt-in heavyweight tests are skipped unless the user names the
+    marker (``-m dp_trace``, ``-m 'convergence or fast'`` ...) or
+    selects such a test directly by node id."""
+    m_expr = config.getoption('-m') or ''
     # an arg like path/to/test_x.py::test_name is an explicit ask — honor it
     explicit = {a.replace(str(config.rootpath) + '/', '')
                 for a in config.args if '::' in a}
-    for item in items:
-        if 'dp_trace' in item.keywords and item.nodeid not in explicit:
-            item.add_marker(skip)
+    for marker in OPT_IN_MARKERS:
+        if marker in m_expr:
+            continue
+        skip = pytest.mark.skip(
+            reason=f'opt-in heavyweight test: run with -m {marker}')
+        for item in items:
+            if marker in item.keywords and item.nodeid not in explicit:
+                item.add_marker(skip)
 
 
 @pytest.fixture(autouse=True, scope='module')
