@@ -194,6 +194,7 @@ def test_composite_parity_full_scale(ref_archs, tmp_path):
     assert report['out_delta'] < 1e-3, report
 
 
+@pytest.mark.proof
 def test_composite_parity_production_padded_path(ref_archs, tmp_path):
     """Full-scale parity THROUGH the production eval path (VERDICT r3
     item 2): torch reference at the exact CUFED5 shape (512x336, never

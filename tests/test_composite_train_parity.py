@@ -330,6 +330,7 @@ def _assert_logs_match(logs_t, logs_j, tolerances, context):
 # stage 3
 # --------------------------------------------------------------------------
 
+@pytest.mark.proof
 def test_stage3_pretrain_train_parity(ref_models, tmp_path, monkeypatch,
                                       one_device_mesh):
     """3 G-pretrain steps (L1 only) both ways: per-step l_pix, then
@@ -374,6 +375,7 @@ def test_stage3_pretrain_train_parity(ref_models, tmp_path, monkeypatch,
     assert resid < 0.15, (resid, denom)
 
 
+@pytest.mark.proof
 def test_stage3_gan_train_parity(ref_models, tmp_path, monkeypatch,
                                  one_device_mesh):
     """2 full GAN iterations both ways (D WGAN-GP update + G update
@@ -451,6 +453,7 @@ def test_stage3_gan_train_parity(ref_models, tmp_path, monkeypatch,
         assert resid < 0.2, (resid, denom)
 
 
+@pytest.mark.proof
 def test_stage3_schedule_boundary_trajectory(ref_models, tmp_path,
                                              monkeypatch, one_device_mesh):
     """Trajectory-level parity across every stage-3 schedule boundary in

@@ -69,6 +69,7 @@ def run_validation(synth_root, out_root):
                             save_img=False)
 
 
+@pytest.mark.proof
 def test_e2e_golden_metrics(synth_root, tmp_path, monkeypatch):
     monkeypatch.setenv('C2MATCHING_ROOT', str(tmp_path))
     avgs = run_validation(synth_root, str(tmp_path))

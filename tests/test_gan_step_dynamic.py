@@ -12,6 +12,7 @@ executables (do_g static). They now compile ONE, with the G phase under
   the G branch).
 """
 import numpy as np
+import pytest
 
 
 def _small_opt(tmp_path, seed=0):
@@ -47,6 +48,7 @@ def _mk_batch(seed, b=2, gt=64):
     }
 
 
+@pytest.mark.proof
 def test_dynamic_do_g_matches_static(tmp_path):
     import jax
     from c2matching_tpu.models import create_model

@@ -245,6 +245,7 @@ def test_stage3_train_step_bf16_gather_tracks_f32(synth_root, tmp_path):
     np.testing.assert_allclose(losses['bf16'], losses['f32'], rtol=0.02)
 
 
+@pytest.mark.proof
 def test_stage3_gan_fused_step_matches_unfused(synth_root, tmp_path):
     """The single fused GAN jit (match -> vjp'd G forward -> D update ->
     G update) must reproduce the round-1 unfused step sequence

@@ -1,6 +1,7 @@
 """Multi-device data parallelism tests on the 8-device virtual CPU mesh:
 sharded-batch training must match single-device training exactly."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -73,6 +74,7 @@ def test_shard_batch_replicates_indivisible():
     assert all(s == (3, 4) for s in shard_shapes)
 
 
+@pytest.mark.proof
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

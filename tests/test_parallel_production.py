@@ -110,6 +110,7 @@ def test_gan_step_dp_equivalence(tmp_path, monkeypatch):
     _dp_equivalence_body(tmp_path, monkeypatch)
 
 
+@pytest.mark.proof
 def test_gan_step_dp_equivalence_smoke(tmp_path, monkeypatch):
     """Default-run DP-equivalence smoke: the SAME fused-step code path
     and assertions as the dp_trace test, at a reduced arch config

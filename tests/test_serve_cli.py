@@ -53,6 +53,7 @@ def run_serve(synth_root, out_dir, batch, tmp_path):
     return sorted(os.listdir(out_dir))
 
 
+@pytest.mark.proof
 def test_serve_batched_matches_batch1(synth_root, tmp_path):
     # batch 2 over 3 images: one full bucket flush + one padded partial
     out2 = str(tmp_path / 'b2')
