@@ -222,21 +222,35 @@ class ResBlockStack(nn.Module):
     tunnel overhead). Param structure is IDENTICAL for any unroll value
     (checkpoints interchange freely); serving configs set
     ``trunk_unroll`` on the network to unroll fully.
+
+    ``unroll='auto'`` (the default) resolves per backend: full unroll on
+    XLA:CPU, rolled scan elsewhere. Reason (measured 2026-08-20 on the
+    1-core CPU host, 64x64x64 batch 2): XLA:CPU executes the conv
+    BACKWARD inside a while-loop body ~60x slower than the identical
+    unrolled graph — 3.7 s vs 0.06 s per block, turning a 16-block
+    trunk's backward into 58 s while its forward is 0.34 s. TPU keeps
+    the rolled scan (compile-time win; runtime parity at train scales).
+    The forward is bit-exact either way; gradients differ only by f32
+    reassociation (~5e-5 abs — tests/test_archs.py pins equivalence).
     """
     nf: int = 64
     n_blocks: int = 16
     kernel_init: Callable = kaiming_scaled_init(0.1)
     dtype: Any = jnp.float32
-    unroll: int = 1
+    unroll: Any = 'auto'
 
     @nn.compact
     def __call__(self, x, mask=None):
+        unroll = self.unroll
+        if unroll == 'auto':
+            unroll = (self.n_blocks
+                      if jax.default_backend() == 'cpu' else 1)
         scan = nn.scan(
             _ResBlockScanBody,
             variable_axes={'params': 0},
             split_rngs={'params': True},
             length=self.n_blocks,
-            unroll=min(self.unroll, self.n_blocks),
+            unroll=min(unroll, self.n_blocks),
         )
         (out, _mask), _ = scan(nf=self.nf, kernel_init=self.kernel_init,
                                dtype=self.dtype, name='blocks')((x, mask),

@@ -122,7 +122,7 @@ class ContentExtractor(nn.Module):
     nf: int = 64
     n_blocks: int = 16
     dtype: Any = jnp.float32
-    trunk_unroll: int = 1
+    trunk_unroll: Any = 'auto'
 
     @nn.compact
     def __call__(self, x, mask=None):
@@ -155,7 +155,7 @@ class DynamicAggregationRestoration(nn.Module):
     stage_barriers: bool = True
     dtype: Any = jnp.float32
     gather_dtype: Any = None
-    trunk_unroll: int = 1
+    trunk_unroll: Any = 'auto'
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat, valid_shape=None):
@@ -243,10 +243,12 @@ class RestorationNet(nn.Module):
     groups: int = 8
     dtype: Any = jnp.float32
     gather_dtype: Any = None
-    # lax.scan unroll factor for the residual trunks (serving knob:
-    # rolled scan costs ~35% of trunk time at eval scales; see
-    # arch_util.ResBlockStack). Param/checkpoint layout is unaffected.
-    trunk_unroll: int = 1
+    # lax.scan unroll factor for the residual trunks ('auto': full
+    # unroll on XLA:CPU where the scanned conv backward is ~60x slower,
+    # rolled elsewhere; serving sets 16 — rolled scan costs ~35% of
+    # trunk time at eval scales; see arch_util.ResBlockStack).
+    # Param/checkpoint layout is unaffected by the value.
+    trunk_unroll: Any = 'auto'
 
     @nn.compact
     def __call__(self, x, pre_offset, img_ref_feat, valid_shape=None):

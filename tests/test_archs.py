@@ -3,6 +3,7 @@ full forward chain extractor -> matcher -> restoration)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from c2matching_tpu.models.archs import (ContrasExtractorSep,
                                          CorrespondenceGenerationArch,
@@ -197,3 +198,34 @@ def test_spectral_norm_eval_without_mutable():
     out4 = block.apply(merged, x)
     np.testing.assert_allclose(np.asarray(out3), np.asarray(out4),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_resblock_stack_unroll_equivalence():
+    """Rolled scan, explicit unroll and 'auto' are the same function:
+    forward bit-exact, gradients equal to f32 reassociation noise.
+    'auto' exists because XLA:CPU executes the scanned conv backward
+    ~60x slower than the identical unrolled graph (measured 3.7 s vs
+    0.06 s per block at 64x64x64 — see ResBlockStack docstring)."""
+    from c2matching_tpu.models.archs.arch_util import ResBlockStack
+
+    x = jnp.asarray(np.random.RandomState(11).randn(2, 12, 10, 16),
+                    jnp.float32)
+    rolled = ResBlockStack(nf=16, n_blocks=3, unroll=1)
+    unrolled = ResBlockStack(nf=16, n_blocks=3, unroll=3)
+    auto = ResBlockStack(nf=16, n_blocks=3)          # default 'auto'
+    variables = rolled.init(jax.random.PRNGKey(0), x)
+
+    outs = [jax.jit(m.apply)(variables, x) for m in (rolled, unrolled,
+                                                     auto)]
+    np.testing.assert_array_equal(np.asarray(outs[0]),
+                                  np.asarray(outs[1]))
+    np.testing.assert_array_equal(np.asarray(outs[0]),
+                                  np.asarray(outs[2]))
+
+    grads = [jax.jit(jax.grad(
+        lambda v, m=m: float('nan') * 0 + jnp.sum(m.apply(v, x) ** 2)))(
+            variables) for m in (rolled, unrolled)]
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
