@@ -18,12 +18,11 @@ noise stays inside them:
   iterations at 128px crossing an lr_steps=[120] milestone, val
   triplet loss / pos / neg distances at 50/100/150/200.
 
-Opt-in (``-m convergence``): MEASURED COST on this 1-core host
-(2026-08-20): the stage-3 test alone is ~2.5 h wall — ~90% of it the
-JAX fused step executing under XLA:CPU's 8-thread Eigen pool thrashing
-one physical core (~70 s/iter; the same step is ~6 ms on the TPU).
-Budget half a day for the pair. Trajectories are pinned in PARITY.md
-whenever this runs.
+Opt-in (``-m convergence``): measured cost on this 1-core host
+(2026-08-20, after the ResBlockStack auto-unroll fix — the first run
+took 2.6 h because XLA:CPU runs the scanned trunk conv-backward ~60x
+slower than unrolled): stage-3 ~35 min (jax side 4.5 s/iter), stage-1
+~6 min. Trajectories are pinned in PARITY.md whenever this runs.
 """
 import os.path as osp
 
