@@ -47,10 +47,10 @@ import pytest  # noqa: E402
 
 
 #: opt-in markers — skipped unless named with -m or selected by node id:
-#: - dp_trace: the full-size DP-equivalence pair costs ~40 min of Python
-#:   TRACING (not XLA compile — the persistent cache cannot help) on
-#:   this 1-core host; the default run covers the same property with the
-#:   reduced smoke in test_parallel_production.py.
+#: - dp_trace: the full-size DP-equivalence pair costs ~13 min
+#:   (2026-08-20, post auto-unroll; was ~40 min) of Python tracing +
+#:   lowering on this 1-core host; the default run covers the same
+#:   property with the reduced smoke in test_parallel_production.py.
 #: - convergence: hundreds of torch iterations through the reference
 #:   stack (test_convergence_parity.py); trajectories pinned in
 #:   PARITY.md when run.
